@@ -1,0 +1,229 @@
+"""Genome scan engine: coarse intervals, dense position search, refinement.
+
+Reference: scan_chromosome (/root/reference/scan-chromosome.c:228-329).  The
+C walks a pthread work queue of coarse intervals (default 100 kb); inside
+each it evaluates the interval endpoints and greedily bisects to ``bp_resl``
+(128 bp) resolution (scan-chromosome.c:103-139), maximizing CLR over alpha at
+every probed position.
+
+TPU-native redesign (SURVEY.md section 7): the greedy bisection becomes a
+dense two-stage position search — every fine-grid position (default 1 kb
+pitch, the reference's -g spacing) in every interval evaluates in one batch,
+then the per-interval winner is refined on a +-(fine/2) sub-grid at bp_resl
+pitch.  This evaluates strictly more positions than the bisection path, so
+per-interval maxima dominate the reference's (the bisection is a greedy
+approximation that can miss maxima).  Work queues become batch dimensions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.clr import two_stage_alpha_max
+from ..ops.windows import candidate_windows
+from ..utils import MSG_STATUS, cr_logmsg
+
+
+@dataclasses.dataclass
+class ScanConfig:
+    eval_range: int = 81920  # +- SNPs per window (fscl.c:175)
+    bp_resl: int = 128  # position refinement resolution (fscl.c:174)
+    small_grid_sp: int = 1000  # fine grid pitch in bp (fscl.c:158)
+    large_grid_sp: int = 100000  # coarse interval width in bp (fscl.c:159)
+    chunk: int = 8  # candidate chunk in the CLR kernel
+    refine: bool = True  # bp_resl refinement pass
+
+
+@dataclasses.dataclass
+class ScanResult:
+    """One entry per coarse interval (the reference's scan_pt_t array)."""
+
+    chr_id: np.ndarray  # [K] i32
+    sweep_pos: np.ndarray  # [K] i64
+    clr: np.ndarray  # [K] f64
+    lalpha: np.ndarray  # [K] f64
+    nearest: np.ndarray  # [K] global site index
+    window_start: np.ndarray  # [K] global site index
+    window_end: np.ndarray  # [K] global site index
+    interval_start: np.ndarray  # [K] bp (coarse interval, for permutation)
+    interval_end: np.ndarray  # [K] bp
+    permute_n: np.ndarray  # [K] i64
+    permute_p: np.ndarray  # [K] i64
+    permute_finished: np.ndarray  # [K] bool
+    null_clr: list  # per point: list/array of saved null CLRs
+
+    @property
+    def n_points(self) -> int:
+        return len(self.sweep_pos)
+
+
+def _pad_pow2(n, minimum=256):
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def chromosome_candidates(cl, cfg):
+    """Fine-grid candidate positions for one chromosome.
+
+    Intervals k start at start_pos + k*large_grid_sp while < bp_length
+    (scan-chromosome.c:177-204); each contributes candidates at
+    small_grid_sp pitch plus the clamped interval end.  Returns
+    (cand [n_int, J], valid [n_int, J], istart [n_int], iend [n_int]).
+    """
+    coarse = cfg.large_grid_sp
+    fine = cfg.small_grid_sp
+    cpf = coarse // fine
+    starts = np.arange(cl.start_pos, cl.bp_length, coarse, dtype=np.int64)
+    if len(starts) == 0:
+        starts = np.array([cl.start_pos], dtype=np.int64)
+    ends = np.minimum(starts + coarse, cl.bp_length)
+    J = cpf + 2
+    j = np.arange(cpf + 1, dtype=np.int64)
+    cand = np.empty((len(starts), J), dtype=np.int64)
+    cand[:, : cpf + 1] = starts[:, None] + j[None, :] * fine
+    cand[:, cpf + 1] = ends  # explicit (possibly clamped) interval end
+    valid = cand <= ends[:, None]
+    cand = np.minimum(cand, ends[:, None])
+    return cand, valid, starts, ends
+
+
+class _ChromosomeBlock:
+    """Device-resident padded site arrays for one chromosome."""
+
+    def __init__(self, data, cl, table_flat_dev):
+        sl = slice(cl.start_index, cl.start_index + cl.n_snps)
+        n = cl.n_snps
+        w_pad = _pad_pow2(n)
+        pos = np.full(w_pad, np.iinfo(np.int32).max // 2, dtype=np.int32)
+        pos[:n] = data.pos[sl]
+        row = np.zeros(w_pad, dtype=np.int32)
+        row[:n] = data.row[sl]
+        null = np.zeros(w_pad, dtype=np.float32)
+        null[:n] = data.null_logl[sl]
+        self.n = n
+        self.w_pad = w_pad
+        self.pos_np = np.asarray(data.pos[sl])
+        self.pos = jnp.asarray(pos)
+        self.row = jnp.asarray(row)
+        self.null = jnp.asarray(null)
+        self.table_flat = table_flat_dev
+
+    def eval_candidates(self, cand_flat, cfg, grid_points, row=None, null=None):
+        """two-stage alpha max CLR for a flat candidate array (host in/out)."""
+        ns, lo, hi = candidate_windows(self.pos_np, cand_flat, cfg.eval_range)
+        P = len(cand_flat)
+        p_pad = _pad_pow2(P, minimum=cfg.chunk)
+        cand_d = np.zeros(p_pad, dtype=np.int32)
+        cand_d[:P] = cand_flat
+        lo_d = np.ones(p_pad, dtype=np.int32)
+        hi_d = np.zeros(p_pad, dtype=np.int32)
+        lo_d[:P] = lo
+        hi_d[:P] = hi
+        clr, la = two_stage_alpha_max(
+            self.table_flat,
+            self.row if row is None else row,
+            self.pos,
+            self.null if null is None else null,
+            jnp.asarray(cand_d),
+            jnp.asarray(lo_d),
+            jnp.asarray(hi_d),
+            grid_points=grid_points,
+            chunk=cfg.chunk,
+        )
+        return np.asarray(clr)[:P], np.asarray(la)[:P], ns, lo, hi
+
+
+def refine_positions(best_pos, istart, iend, cfg):
+    """bp_resl sub-grid around per-interval winners, clamped to the interval."""
+    k_max = -(-cfg.small_grid_sp // (2 * cfg.bp_resl))
+    offs = np.arange(-k_max, k_max + 1, dtype=np.int64) * cfg.bp_resl
+    cand = best_pos[:, None] + offs[None, :]
+    cand = np.clip(cand, istart[:, None], iend[:, None])
+    return cand
+
+
+def scan_genome(data, tables, cfg: ScanConfig) -> ScanResult:
+    """Scan all chromosomes; returns one scan point per coarse interval."""
+    table_flat = jnp.asarray(tables.table.reshape(-1))
+    G = tables.grid_points
+
+    out = {
+        k: []
+        for k in (
+            "chr_id",
+            "sweep_pos",
+            "clr",
+            "lalpha",
+            "nearest",
+            "window_start",
+            "window_end",
+            "interval_start",
+            "interval_end",
+        )
+    }
+
+    for c, cl in enumerate(data.chr_limits):
+        blk = _ChromosomeBlock(data, cl, table_flat)
+        cand, valid, istart, iend = chromosome_candidates(cl, cfg)
+        n_int, J = cand.shape
+        cr_logmsg(
+            MSG_STATUS,
+            "Scanning chromosome %s - %d intervals x %d candidates",
+            cl.name,
+            n_int,
+            J,
+        )
+        clr, la, *_ = blk.eval_candidates(cand.reshape(-1), cfg, G)
+        clr = np.where(valid.reshape(-1), clr, -np.inf).reshape(n_int, J)
+        la = la.reshape(n_int, J)
+        jbest = np.argmax(clr, axis=1)
+        r = np.arange(n_int)
+        best_pos = cand[r, jbest]
+        best_clr = clr[r, jbest]
+        best_la = la[r, jbest]
+
+        if cfg.refine:
+            cand2 = refine_positions(best_pos, istart, iend, cfg)
+            n2 = cand2.shape[1]
+            clr2, la2, *_ = blk.eval_candidates(cand2.reshape(-1), cfg, G)
+            clr2 = clr2.reshape(n_int, n2)
+            la2 = la2.reshape(n_int, n2)
+            j2 = np.argmax(clr2, axis=1)
+            better = clr2[r, j2] > best_clr
+            best_pos = np.where(better, cand2[r, j2], best_pos)
+            best_la = np.where(better, la2[r, j2], best_la)
+            best_clr = np.where(better, clr2[r, j2], best_clr)
+
+        ns, lo, hi = candidate_windows(blk.pos_np, best_pos, cfg.eval_range)
+        out["chr_id"].append(np.full(n_int, c, dtype=np.int32))
+        out["sweep_pos"].append(best_pos)
+        out["clr"].append(best_clr)
+        out["lalpha"].append(best_la)
+        out["nearest"].append(ns + cl.start_index)
+        out["window_start"].append(lo + cl.start_index)
+        out["window_end"].append(hi + cl.start_index)
+        out["interval_start"].append(istart)
+        out["interval_end"].append(iend)
+
+    cat = {k: np.concatenate(v) for k, v in out.items()}
+    K = len(cat["sweep_pos"])
+    return ScanResult(
+        chr_id=cat["chr_id"],
+        sweep_pos=cat["sweep_pos"],
+        clr=cat["clr"].astype(np.float64),
+        lalpha=cat["lalpha"].astype(np.float64),
+        nearest=cat["nearest"],
+        window_start=cat["window_start"],
+        window_end=cat["window_end"],
+        interval_start=cat["interval_start"],
+        interval_end=cat["interval_end"],
+        permute_n=np.zeros(K, dtype=np.int64),
+        permute_p=np.zeros(K, dtype=np.int64),
+        permute_finished=np.zeros(K, dtype=bool),
+        null_clr=[None] * K,
+    )
