@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark harness: permutation-scan throughput vs the reference C binary.
+
+Task (identical for both sides): a 20 Mb chromosome with 20k sites at depth
+n=50 containing two planted sweeps, scanned at -g 1000 -G 100000 with 50
+block-permutation rounds and the reference's >=20-exceedance pruning rule.
+
+Metric: null-CLR **point-rounds per second** in the permutation phase — one
+point-round is one full (position x alpha) max-CLR search over one coarse
+interval against one permuted genome, i.e. the unit of work both engines
+schedule.  Sum(permute_n) over scan points divided by permutation wall time.
+This is robust to pruning-RNG differences between the two implementations
+(both sides count the rounds they actually performed).
+
+vs_baseline = ours / reference-C-single-core, measured on this machine by
+bench/measure_reference.py and frozen in bench/baseline_c.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+BENCH_SEED = 42
+SAMPLE_N = 50
+MB_LENGTH = 20.0
+SNP_PER_KB = 1.0
+ALPHA = 3e-5
+N_SWEEPS = 2
+N_PERMUTE = 50
+FINE = 1000
+COARSE = 100000
+DATA = REPO / "bench" / "data" / "bench_20k.sf"
+
+
+def ensure_data():
+    DATA.parent.mkdir(parents=True, exist_ok=True)
+    if DATA.exists():
+        return
+    from fscl_tpu.sim import simulate_dataset, write_snp_file
+
+    sim = simulate_dataset(
+        seed=BENCH_SEED,
+        sample_size=SAMPLE_N,
+        snp_density=SNP_PER_KB,
+        mb_length=MB_LENGTH,
+        alpha=ALPHA,
+        n_sweeps=N_SWEEPS,
+    )
+    write_snp_file(DATA, sim["pos"], sim["freq"], sim["n"], folded=False)
+
+
+def run_ours():
+    import jax
+
+    from fscl_tpu.engine import PermuteConfig, ScanConfig, scan_genome, scan_permute
+    from fscl_tpu.io import load_snp_input
+    from fscl_tpu.models import background_fsp, build_tables
+
+    data = load_snp_input(DATA)
+    # compat mode so both engines compute the same model on unfolded data
+    fsp = background_fsp(
+        data.obs_freq, data.depth_p, data.folded, data.sample_depths,
+        compat_mirror_unfolded=True,
+    )
+    tables = build_tables(fsp, data.sample_depths, grid_points=2048)
+    data.attach_model(tables)
+    scan_cfg = ScanConfig(small_grid_sp=FINE, large_grid_sp=COARSE)
+
+    t0 = time.monotonic()
+    result = scan_genome(data, tables, scan_cfg)
+    jax.block_until_ready(jax.numpy.zeros(()))
+    t_scan = time.monotonic() - t0
+
+    perm_cfg = PermuteConfig(n_permute=N_PERMUTE, chunk_replicates=25, seed=1)
+    t0 = time.monotonic()
+    scan_permute(data, tables, result, scan_cfg, perm_cfg)
+    t_perm = time.monotonic() - t0
+
+    point_rounds = int(result.permute_n.sum())
+    return dict(
+        t_scan=t_scan,
+        t_perm=t_perm,
+        point_rounds=point_rounds,
+        point_rounds_per_sec=point_rounds / t_perm,
+        n_points=result.n_points,
+        max_clr=float(result.clr.max()),
+    )
+
+
+def main():
+    ensure_data()
+    ours = run_ours()
+
+    baseline_file = REPO / "bench" / "baseline_c.json"
+    vs = None
+    if baseline_file.exists():
+        base = json.loads(baseline_file.read_text())
+        if base.get("point_rounds_per_sec"):
+            vs = ours["point_rounds_per_sec"] / base["point_rounds_per_sec"]
+
+    print(
+        json.dumps(
+            dict(
+                metric="null-CLR point-rounds/sec (20k-site chr, 1kb grid, 50 perms)",
+                value=round(ours["point_rounds_per_sec"], 3),
+                unit="point-rounds/s",
+                vs_baseline=round(vs, 3) if vs is not None else None,
+            )
+        )
+    )
+    print(
+        f"# detail: scan {ours['t_scan']:.1f}s, perm {ours['t_perm']:.1f}s, "
+        f"{ours['point_rounds']} point-rounds over {ours['n_points']} points, "
+        f"max CLR {ours['max_clr']:.1f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -138,10 +138,9 @@ class _ChromosomeBlock:
         return np.asarray(clr)[:P], np.asarray(la)[:P], ns, lo, hi
 
 
-def refine_positions(best_pos, istart, iend, cfg):
-    """bp_resl sub-grid around per-interval winners, clamped to the interval."""
-    k_max = -(-cfg.small_grid_sp // (2 * cfg.bp_resl))
-    offs = np.arange(-k_max, k_max + 1, dtype=np.int64) * cfg.bp_resl
+def refine_positions(best_pos, istart, iend, pitch):
+    """+-8 steps of ``pitch`` around per-interval winners, interval-clamped."""
+    offs = np.arange(-8, 9, dtype=np.int64) * pitch
     cand = best_pos[:, None] + offs[None, :]
     cand = np.clip(cand, istart[:, None], iend[:, None])
     return cand
@@ -188,16 +187,23 @@ def scan_genome(data, tables, cfg: ScanConfig) -> ScanResult:
         best_la = la[r, jbest]
 
         if cfg.refine:
-            cand2 = refine_positions(best_pos, istart, iend, cfg)
-            n2 = cand2.shape[1]
-            clr2, la2, *_ = blk.eval_candidates(cand2.reshape(-1), cfg, G)
-            clr2 = clr2.reshape(n_int, n2)
-            la2 = la2.reshape(n_int, n2)
-            j2 = np.argmax(clr2, axis=1)
-            better = clr2[r, j2] > best_clr
-            best_pos = np.where(better, cand2[r, j2], best_pos)
-            best_la = np.where(better, la2[r, j2], best_la)
-            best_clr = np.where(better, clr2[r, j2], best_clr)
+            # iterative zoom to bp_resl: re-center on the running winner and
+            # shrink the pitch ~8x per round — a batched descent that covers
+            # the dyadic positions the reference's greedy bisection explores
+            # (scan-chromosome.c:103-139) and more.
+            pitch = cfg.small_grid_sp
+            while pitch > cfg.bp_resl:
+                pitch = max(pitch // 8, cfg.bp_resl)
+                cand2 = refine_positions(best_pos, istart, iend, pitch)
+                n2 = cand2.shape[1]
+                clr2, la2, *_ = blk.eval_candidates(cand2.reshape(-1), cfg, G)
+                clr2 = clr2.reshape(n_int, n2)
+                la2 = la2.reshape(n_int, n2)
+                j2 = np.argmax(clr2, axis=1)
+                better = clr2[r, j2] > best_clr
+                best_pos = np.where(better, cand2[r, j2], best_pos)
+                best_la = np.where(better, la2[r, j2], best_la)
+                best_clr = np.where(better, clr2[r, j2], best_clr)
 
         ns, lo, hi = candidate_windows(blk.pos_np, best_pos, cfg.eval_range)
         out["chr_id"].append(np.full(n_int, c, dtype=np.int32))

@@ -1,0 +1,180 @@
+"""Parity tests against the compiled reference C binary.
+
+The reference is built from /root/reference with stub GSL (bench/refstubs —
+the reference only uses gsl_rng_alloc/set at startup) and compared on its own
+output points: we evaluate OUR CLR at exactly the (pos, alpha) pairs the C
+scanner reports and require sub-0.5% agreement (residual = its 201-knot
+cubic spline vs our dense-grid lerp, f64 vs f32 accumulation).
+
+Parity uses compat_mirror_unfolded=True: the reference accumulates unfolded
+sites at the mirrored frequency bin when estimating the background spectrum
+(background-fsp.c:226-233); our default corrects that (verified bit-exact
+against the reference's --output-bs with the compat flag on).
+"""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+REF_SRC = Path("/root/reference")
+BIN = REPO / "bench" / "fscl_ref"
+
+
+def _build_reference():
+    if BIN.exists():
+        return True
+    if not REF_SRC.exists():
+        return False
+    srcs = [
+        "fscl.c", "snp-input.c", "background-fsp.c", "asc-bias.c",
+        "sm-spline.c", "sm-search.c", "scan-chromosome.c", "logmsg.c",
+        "cmdline-utils.c",
+    ]
+    cmd = (
+        ["gcc", "-O2", "-fopenmp", f"-I{REF_SRC}", f"-I{REPO}/bench/refstubs",
+         "-o", str(BIN)]
+        + [str(REF_SRC / s) for s in srcs]
+        + [str(REPO / "bench/refstubs/stubs.c"), "-lm", "-lpthread"]
+    )
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    return BIN.exists()
+
+
+@pytest.fixture(scope="module")
+def ref_binary():
+    if not _build_reference():
+        pytest.skip("reference binary not buildable")
+    return BIN
+
+
+@pytest.fixture(scope="module")
+def sim_paths(tmp_path_factory):
+    from fscl_tpu.sim import simulate_dataset, write_snp_file
+
+    d = tmp_path_factory.mktemp("parity")
+    sim = simulate_dataset(
+        seed=7, sample_size=40, snp_density=1.0, mb_length=4.0,
+        alpha=3e-5, n_sweeps=1,
+    )
+    unfolded = d / "unfolded.sf"
+    write_snp_file(unfolded, sim["pos"], sim["freq"], sim["n"], folded=False)
+    folded = d / "folded.sf"
+    ffreq = np.minimum(sim["freq"], sim["n"] - sim["freq"])
+    write_snp_file(folded, sim["pos"], ffreq, sim["n"], folded=True)
+    return dict(unfolded=unfolded, folded=folded, n=sim["n"])
+
+
+def _run_ref(ref_binary, snp_file, out, extra=()):
+    subprocess.run(
+        [str(ref_binary), "-f", str(snp_file), "-o", str(out),
+         "-g", "10000", "-G", "200000", "-v", "0", *extra],
+        check=True, capture_output=True, timeout=600,
+    )
+    rows = [l.split() for l in open(out)]
+    return (
+        np.array([int(r[1]) for r in rows]),
+        np.array([float(r[2]) for r in rows]),
+        np.array([float(r[3]) for r in rows]),
+    )
+
+
+def _our_clr_at(snp_file, ref_pos, ref_alpha, compat):
+    import jax.numpy as jnp
+
+    from fscl_tpu.io import load_snp_input
+    from fscl_tpu.models import background_fsp, build_tables
+    from fscl_tpu.ops import candidate_windows
+    from fscl_tpu.ops.clr import clr_grid
+
+    d = load_snp_input(snp_file)
+    fsp = background_fsp(
+        d.obs_freq, d.depth_p, d.folded, d.sample_depths,
+        compat_mirror_unfolded=compat,
+    )
+    t = build_tables(fsp, d.sample_depths, grid_points=4096)
+    d.attach_model(t)
+    ns, lo, hi = candidate_windows(d.pos, ref_pos, 81920)
+    clr = clr_grid(
+        jnp.asarray(t.table.reshape(-1)),
+        jnp.asarray(d.row.astype(np.int32)),
+        jnp.asarray(d.pos.astype(np.int32)),
+        jnp.asarray(d.null_logl.astype(np.float32)),
+        jnp.asarray(ref_pos.astype(np.int32)),
+        jnp.asarray(lo.astype(np.int32)),
+        jnp.asarray(hi.astype(np.int32)),
+        jnp.asarray(np.log(ref_alpha).astype(np.float32)[:, None]),
+        grid_points=4096,
+        paired_alpha=True,
+        chunk=4,
+    )
+    return np.asarray(clr)[:, 0], t, d
+
+
+def test_background_spectrum_bit_parity(ref_binary, sim_paths, tmp_path):
+    from fscl_tpu.io import load_snp_input
+    from fscl_tpu.models import background_fsp
+
+    bs = tmp_path / "ref.bs"
+    subprocess.run(
+        [str(ref_binary), "-f", str(sim_paths["unfolded"]), "-o",
+         str(tmp_path / "x.tsv"), f"--output-bs={bs}", "--no-scan", "-v", "0"],
+        check=True, capture_output=True, timeout=120,
+    )
+    ref = np.array([float(x) for x in open(bs).read().split()[1:]])
+    d = load_snp_input(sim_paths["unfolded"])
+    mirr = background_fsp(
+        d.obs_freq, d.depth_p, d.folded, d.sample_depths,
+        compat_mirror_unfolded=True,
+    )[0]
+    # the C writes %1.6f
+    np.testing.assert_allclose(ref, mirr, atol=5.1e-7)
+    ours = background_fsp(d.obs_freq, d.depth_p, d.folded, d.sample_depths)[0]
+    # and the reference's unfolded spectrum is exactly our mirror
+    np.testing.assert_allclose(ref, ours[::-1], atol=5.1e-7)
+
+
+def test_clr_parity_unfolded(ref_binary, sim_paths, tmp_path):
+    ref_pos, ref_clr, ref_alpha = _run_ref(
+        ref_binary, sim_paths["unfolded"], tmp_path / "ref.tsv"
+    )
+    ours, _, _ = _our_clr_at(sim_paths["unfolded"], ref_pos, ref_alpha, compat=True)
+    np.testing.assert_allclose(ours, ref_clr, rtol=5e-3, atol=0.5)
+
+
+def test_clr_parity_folded(ref_binary, sim_paths, tmp_path):
+    ref_pos, ref_clr, ref_alpha = _run_ref(
+        ref_binary, sim_paths["folded"], tmp_path / "reff.tsv"
+    )
+    # folded data: reference background accumulation is correct -> no compat
+    ours, _, _ = _our_clr_at(sim_paths["folded"], ref_pos, ref_alpha, compat=False)
+    np.testing.assert_allclose(ours, ref_clr, rtol=5e-3, atol=0.5)
+
+
+def test_scan_max_dominates_reference(ref_binary, sim_paths, tmp_path):
+    """Our dense position search must find >= the reference max per interval."""
+    from fscl_tpu.cli import main
+
+    ref_pos, ref_clr, ref_alpha = _run_ref(
+        ref_binary, sim_paths["unfolded"], tmp_path / "ref.tsv"
+    )
+    out = tmp_path / "ours.tsv"
+    main([
+        "-f", str(sim_paths["unfolded"]), "-o", str(out),
+        "-g", "2000", "-G", "200000", "--grid-points", "1024",
+        "--compat-mirror-unfolded", "-v", "0",
+    ])
+    rows = [l.split() for l in open(out)]
+    our_clr = np.array([float(r[2]) for r in rows])
+    assert len(our_clr) == len(ref_clr)
+    # The CLR landscape is multimodal at the kb scale, so neither a dense
+    # grid nor the reference's greedy bisection dominates pointwise with
+    # certainty; require dominance in aggregate and near-dominance pointwise.
+    assert (our_clr >= ref_clr - 1.0).mean() >= 0.95
+    assert our_clr.sum() >= ref_clr.sum()
+    assert our_clr.max() >= ref_clr.max() - 1.0
