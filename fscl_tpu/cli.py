@@ -94,6 +94,8 @@ def build_parser():
     a("--seed", type=int, default=0xFD821A6,
       help="RNG seed (reference default is this hard-coded value, fscl.c:134)")
     a("--no-refine", action="store_true", help="skip bp_resl position refinement")
+    a("--checkpoint", help="permutation checkpoint file (.npz); saved "
+      "after each chunk, auto-resumed when the file exists")
     a("--compat-mirror-unfolded", action="store_true",
       help="replicate the reference's mirrored accumulation of unfolded sites "
       "in the background spectrum (for parity testing)")
@@ -170,6 +172,9 @@ def _pipeline_snp_data(data: SNPData, args):
     )
     data.attach_model(tables)
 
+    from .ops.lattice import LatticeTables
+
+    lattice = LatticeTables(tables.table, tables.grid_points)
     scan_cfg = ScanConfig(
         eval_range=args.eval_range,
         bp_resl=args.bp_resl,
@@ -178,7 +183,7 @@ def _pipeline_snp_data(data: SNPData, args):
         chunk=args.chunk,
         refine=not args.no_refine,
     )
-    result = scan_genome(data, tables, scan_cfg)
+    result = scan_genome(data, tables, scan_cfg, lattice=lattice)
 
     if args.n_permute > 0:
         perm_cfg = PermuteConfig(
@@ -188,6 +193,7 @@ def _pipeline_snp_data(data: SNPData, args):
             chunk_replicates=args.chunk_replicates,
             seed=args.seed,
             alpha_factor=args.alpha_factor,
+            checkpoint_path=args.checkpoint,
         )
 
         def dump():
@@ -197,7 +203,10 @@ def _pipeline_snp_data(data: SNPData, args):
             )
             write_null_distribution(args.output_file, data, result)
 
-        scan_permute(data, tables, result, scan_cfg, perm_cfg, dump_fn=dump)
+        scan_permute(
+            data, tables, result, scan_cfg, perm_cfg, dump_fn=dump,
+            lattice=lattice,
+        )
     return result
 
 

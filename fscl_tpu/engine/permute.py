@@ -11,19 +11,19 @@ The first 10,000 null CLRs per point are retained (CLR_NULL_DIST_SAVE).
 
 TPU-native redesign (SURVEY.md section 7): permutation replicates are batched
 in chunks of R; each chunk is ONE device program per chromosome —
-``lax.map`` over replicates of the same batched two-stage CLR search used by
-the observed scan, with the permuted attribute gather done on device.  The
-host only updates exceedance counts and pruning masks between chunks
-(data-dependent termination stays on host, compute stays compiled).
+``lax.map`` over replicates of the lattice-batched two-stage CLR search, with
+the permuted attribute gather, the position zoom, and the window geometry all
+on device.  The host only updates exceedance counts and pruning masks between
+chunks (data-dependent termination stays on host, compute stays compiled).
 
-Test statistic: the null max-CLR per interval is computed on the same dense
-fine-position grid used for the observed scan.  The observed *threshold* for
-exceedance is therefore the fine-grid max (ScanResult.clr before bp_resl
-refinement would be ideal; we re-evaluate it explicitly) so observed and null
-statistics are identical functionals — the reference compares
-bisection-refined maxima on both sides (scan-chromosome.c:484-488); ours
-compares fine-grid maxima on both sides.  Reported CLR values remain the
-refined ones.
+Test statistic (matched to the C's budget): per coarse interval, a fixed
+13-position subgrid (the C bisection probes ~12 positions,
+scan-chromosome.c:103-139) followed by ONE adaptive zoom round of 17 probes
+at pitch/8 around the subgrid winner, maximized over the two-stage alpha
+lattice.  The identical functional is applied to the observed data (the
+exceedance thresholds are re-derived at permutation setup) and to every null
+replicate — a valid Monte-Carlo test.  ScanResult.clr keeps the densely
+scanned *reported* value.
 """
 
 from __future__ import annotations
@@ -36,14 +36,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.clr import two_stage_alpha_max
+from ..ops.lattice import LatticeTables, _two_stage_impl
 from ..ops.permute import block_permutation_indices
-from ..ops.windows import candidate_windows
+from ..ops.windows import candidate_windows, device_windows
 from ..utils import MSG_STATUS, MSG_WARN, cr_logmsg, logmsg
-from .scan import _pad_pow2, chromosome_candidates
+from .scan import _pad_pow2
 
 CLR_NULL_DIST_SAVE = 10000  # scan-chromosome.c:227
 PRUNE_THRESHOLD = 20  # scan-chromosome.c:490
+N_PERM_POS = 13  # fixed subgrid positions per interval
+N_ZOOM = 17  # adaptive zoom probes around the subgrid winner
 
 
 @dataclasses.dataclass
@@ -56,43 +58,95 @@ class PermuteConfig:
     seed: int = 0xFD821A6  # the reference's hard-coded seed (fscl.c:134-137)
     null_dist_save: int = CLR_NULL_DIST_SAVE
     alpha_factor: float = 1.0  # accepted and unused, like the reference
+    checkpoint_path: str | None = None  # .npz saved after each chunk; a
+    # pre-existing file resumes the run (engine/checkpoint.py)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_points", "chunk", "start", "n", "w_pad"))
-def _permute_round_chr(
-    table_flat,
-    row_gen,
-    null_gen,
-    sigma,
-    pos_pad,
-    cand,
-    lo,
-    hi,
-    *,
-    grid_points,
-    chunk,
-    start,
-    n,
-    w_pad,
+def _stat_max(
+    packs, row, null, pos_pad, cand, lo, hi, istart, iend,
+    *, grid_points, chunk, n, eval_range, n_pts, J,
 ):
-    """Max-CLR per (replicate, candidate) for one chromosome.
+    """The permutation test statistic: per-interval adaptive max CLR.
 
-    sigma: [R, N_genome] permutation gather; attributes of genome site i in
-    replicate r are row_gen[sigma[r, i]] (positions fixed).
-    Returns clr [R, P].
+    cand/lo/hi: [n_pts*J] flattened fixed subgrid (already padded arrays are
+    sliced by the caller); istart/iend: [n_pts] interval bounds.
+    Returns [n_pts] maxima.
     """
+    pack_coarse, pack_fine, m_coarse, m_fine = packs
+    clr1, _ = _two_stage_impl(
+        pack_coarse, pack_fine, m_coarse, m_fine,
+        row, pos_pad, null, cand, lo, hi,
+        grid_points=grid_points, chunk=chunk,
+    )  # [n_pts*J]
+    clr1 = clr1.reshape(n_pts, J)
+    jbest = jnp.argmax(clr1, axis=1)
+    r = jnp.arange(n_pts)
+    best_pos = cand.reshape(n_pts, J)[r, jbest]
+    best1 = clr1[r, jbest]
+
+    pitch = (iend - istart).astype(jnp.float32) / (N_PERM_POS - 1)
+    offs = (jnp.arange(N_ZOOM, dtype=jnp.float32) - N_ZOOM // 2) / 8.0
+    cand2 = best_pos[:, None].astype(jnp.float32) + offs[None, :] * pitch[:, None]
+    cand2 = jnp.clip(
+        cand2, istart[:, None].astype(jnp.float32), iend[:, None].astype(jnp.float32)
+    ).astype(jnp.int32)  # [n_pts, N_ZOOM]
+    flat2 = cand2.reshape(-1)
+    lo2, hi2 = device_windows(pos_pad, n, flat2, eval_range)
+    # invalidate dummy points (iend == istart == 0)
+    dummy = (iend == istart) & (istart == 0)
+    lo2 = jnp.where(jnp.repeat(dummy, N_ZOOM), 1, lo2)
+    hi2 = jnp.where(jnp.repeat(dummy, N_ZOOM), 0, hi2)
+    clr2, _ = _two_stage_impl(
+        pack_coarse, pack_fine, m_coarse, m_fine,
+        row, pos_pad, null, flat2, lo2, hi2,
+        grid_points=grid_points, chunk=chunk,
+    )
+    best2 = clr2.reshape(n_pts, N_ZOOM).max(axis=1)
+    return jnp.maximum(best1, best2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_points", "chunk", "start", "n", "w_pad",
+                     "eval_range", "n_pts", "J"),
+)
+def _permute_batch_chr(
+    pack_coarse, pack_fine, m_coarse, m_fine,
+    row_gen, null_gen, sigma, pos_pad, cand, lo, hi, istart, iend,
+    *, grid_points, chunk, start, n, w_pad, eval_range, n_pts, J,
+):
+    """Statistic maxima per (replicate, interval); returns [R, n_pts]."""
+
+    packs = (pack_coarse, pack_fine, m_coarse, m_fine)
 
     def one_rep(sig_r):
         idx = jax.lax.dynamic_slice(sig_r, (start,), (n,))
         row = jnp.pad(row_gen[idx], (0, w_pad - n))
         null = jnp.pad(null_gen[idx], (0, w_pad - n))
-        clr, _ = two_stage_alpha_max(
-            table_flat, row, pos_pad, null, cand, lo, hi,
-            grid_points=grid_points, chunk=chunk,
+        return _stat_max(
+            packs, row, null, pos_pad, cand, lo, hi, istart, iend,
+            grid_points=grid_points, chunk=chunk, n=n,
+            eval_range=eval_range, n_pts=n_pts, J=J,
         )
-        return clr
 
     return jax.lax.map(one_rep, sigma)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_points", "chunk", "n", "eval_range", "n_pts", "J"),
+)
+def _observed_stat_chr(
+    pack_coarse, pack_fine, m_coarse, m_fine,
+    row, null, pos_pad, cand, lo, hi, istart, iend,
+    *, grid_points, chunk, n, eval_range, n_pts, J,
+):
+    packs = (pack_coarse, pack_fine, m_coarse, m_fine)
+    return _stat_max(
+        packs, row, null, pos_pad, cand, lo, hi, istart, iend,
+        grid_points=grid_points, chunk=chunk, n=n,
+        eval_range=eval_range, n_pts=n_pts, J=J,
+    )
 
 
 class _InterruptState:
@@ -108,8 +162,6 @@ class _InterruptState:
         self._prev = None
 
     def __enter__(self):
-        import time
-
         def handler(signum, frame):
             import time as _t
 
@@ -137,7 +189,64 @@ class _InterruptState:
                 self.dump_fn()
 
 
-def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig, dump_fn=None):
+def perm_positions(istart, iend):
+    """The fixed subgrid for each interval's statistic."""
+    f = np.linspace(0.0, 1.0, N_PERM_POS)
+    return (istart[:, None] + f[None, :] * (iend - istart)[:, None]).astype(
+        np.int64
+    )
+
+
+class _ChrPermContext:
+    """Per-chromosome static device arrays for the permutation rounds."""
+
+    def __init__(self, data, cl, scan_cfg, result, pts):
+        n = cl.n_snps
+        self.start = cl.start_index
+        self.n = n
+        self.w_pad = _pad_pow2(n)
+        pos_pad = np.full(
+            self.w_pad, np.iinfo(np.int32).max // 2, dtype=np.int32
+        )
+        sl = slice(cl.start_index, cl.start_index + cl.n_snps)
+        pos_pad[:n] = data.pos[sl]
+        self.pos_pad = jnp.asarray(pos_pad)
+        self.pos_np = np.asarray(data.pos[sl])
+        self.point_ids = pts
+        self.eval_range = scan_cfg.eval_range
+        self.chunk = scan_cfg.chunk
+        self._cache = {}
+
+    def build_batch(self, result, pts_subset):
+        """(device arrays, n_pts_pad, J) for an active subset, bucketed."""
+        nA = len(pts_subset)
+        n_pts_pad = _pad_pow2(nA, minimum=4)
+        key = n_pts_pad
+        ist = np.zeros(n_pts_pad, dtype=np.int64)
+        ien = np.zeros(n_pts_pad, dtype=np.int64)
+        ist[:nA] = result.interval_start[pts_subset]
+        ien[:nA] = result.interval_end[pts_subset]
+        cand = perm_positions(ist, ien)  # [n_pts_pad, J]
+        J = cand.shape[1]
+        flat = cand.reshape(-1)
+        ns, lo, hi = candidate_windows(self.pos_np, flat, self.eval_range)
+        # dummy points: invalid windows
+        dummy = np.repeat(np.arange(n_pts_pad) >= nA, J)
+        lo = np.where(dummy, 1, lo)
+        hi = np.where(dummy, 0, hi)
+        return (
+            jnp.asarray(flat.astype(np.int32)),
+            jnp.asarray(lo.astype(np.int32)),
+            jnp.asarray(hi.astype(np.int32)),
+            jnp.asarray(ist.astype(np.int32)),
+            jnp.asarray(ien.astype(np.int32)),
+            n_pts_pad,
+            J,
+        )
+
+
+def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
+                 dump_fn=None, lattice=None):
     """Run up to cfg.n_permute block-permutation rounds with pruning.
 
     Mutates ``result`` in place: permute_n / permute_p / permute_finished and
@@ -147,8 +256,9 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig, dump_fn=Non
         return result
 
     rng = np.random.default_rng(cfg.seed)
-    key = jax.random.key(cfg.seed)
-    table_flat = jnp.asarray(tables.table.reshape(-1))
+    key0 = jax.random.key(cfg.seed)
+    lt = lattice or LatticeTables(tables.table, tables.grid_points)
+    packs = (lt.pack_coarse, lt.pack_fine, lt.m_coarse_dev, lt.m_fine_dev)
     G = tables.grid_points
 
     row_gen = jnp.asarray(data.row.astype(np.int32))
@@ -161,38 +271,41 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig, dump_fn=Non
         if result.null_clr[i] is None:
             result.null_clr[i] = []
 
-    # per-chromosome static context
     chr_ctx = []
-    point_chr = result.chr_id
+    threshold = np.zeros(K)
     for c, cl in enumerate(data.chr_limits):
-        n = cl.n_snps
-        w_pad = _pad_pow2(n)
-        pos_pad = np.full(w_pad, np.iinfo(np.int32).max // 2, dtype=np.int32)
-        sl = slice(cl.start_index, cl.start_index + cl.n_snps)
-        pos_pad[:n] = data.pos[sl]
-        cand_all, valid_all, _, _ = chromosome_candidates(cl, scan_cfg)
-        chr_ctx.append(
-            dict(
-                start=cl.start_index,
-                n=n,
-                w_pad=w_pad,
-                pos_pad=jnp.asarray(pos_pad),
-                pos_np=np.asarray(data.pos[sl]),
-                cand=cand_all,  # [n_int, J] aligned with this chr's points
-                valid=valid_all,
-                point_ids=np.where(point_chr == c)[0],
-            )
+        pts = np.where(result.chr_id == c)[0]
+        if len(pts) == 0:
+            continue
+        ctx = _ChrPermContext(data, cl, scan_cfg, result, pts)
+        chr_ctx.append(ctx)
+        # observed thresholds under the identical statistic
+        cand, lo, hi, ist, ien, n_pts_pad, J = ctx.build_batch(result, pts)
+        row_pad = jnp.pad(
+            row_gen[ctx.start : ctx.start + ctx.n], (0, ctx.w_pad - ctx.n)
         )
-
-    # observed thresholds: fine-grid max (see module docstring); approximate
-    # with the reported CLR when refinement is off, else re-derive by
-    # comparing against the same functional. We store thresholds as the
-    # reported observed CLR, which is the refined max >= grid max — making
-    # exceedance counting slightly conservative-safe. (C compares refined vs
-    # refined; we compare grid-null vs refined-observed.)
-    threshold = result.clr.copy()
+        null_pad = jnp.pad(
+            null_gen[ctx.start : ctx.start + ctx.n], (0, ctx.w_pad - ctx.n)
+        )
+        obs = _observed_stat_chr(
+            *packs, row_pad, null_pad, ctx.pos_pad, cand, lo, hi, ist, ien,
+            grid_points=G, chunk=ctx.chunk, n=ctx.n,
+            eval_range=ctx.eval_range, n_pts=n_pts_pad, J=J,
+        )
+        threshold[pts] = np.asarray(obs)[: len(pts)]
 
     rounds_done = 0
+    if cfg.checkpoint_path:
+        import os
+
+        from .checkpoint import load_checkpoint, save_checkpoint
+
+        if os.path.exists(cfg.checkpoint_path):
+            rounds_done, _ = load_checkpoint(cfg.checkpoint_path, result)
+            logmsg(
+                MSG_STATUS,
+                "Resumed permutation checkpoint at %d rounds", rounds_done,
+            )
     active = ~result.permute_finished.copy()
 
     def _progress():
@@ -206,52 +319,27 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig, dump_fn=Non
     with _InterruptState(dump_fn) as intr:
         while active.any() and rounds_done < cfg.n_permute:
             R = min(cfg.chunk_replicates, cfg.n_permute - rounds_done)
-            key, sub = jax.random.split(key)
+            # per-chunk key derived from the round counter, so a resumed run
+            # replays the identical permutation stream
+            sub = jax.random.fold_in(key0, rounds_done)
             sigma = block_permutation_indices(sub, gpos, width_bp, R)
 
-            for c, ctx in enumerate(chr_ctx):
-                pts = ctx["point_ids"]
-                act = pts[active[pts]]
+            for ctx in chr_ctx:
+                act = ctx.point_ids[active[ctx.point_ids]]
                 if len(act) == 0:
                     continue
-                # interval index of each active point within this chromosome
-                int_idx = np.searchsorted(pts, act)
-                cand = ctx["cand"][int_idx]  # [nA, J]
-                valid = ctx["valid"][int_idx]
-                nA, J = cand.shape
-                flat = cand.reshape(-1)
-                ns, lo, hi = candidate_windows(
-                    ctx["pos_np"], flat, scan_cfg.eval_range
+                cand, lo, hi, ist, ien, n_pts_pad, J = ctx.build_batch(
+                    result, act
                 )
-                P = len(flat)
-                p_pad = _pad_pow2(P, minimum=scan_cfg.chunk)
-                cand_d = np.zeros(p_pad, np.int32)
-                cand_d[:P] = flat
-                lo_d = np.ones(p_pad, np.int32)
-                hi_d = np.zeros(p_pad, np.int32)
-                lo_d[:P] = lo
-                hi_d[:P] = hi
+                null_max = _permute_batch_chr(
+                    *packs, row_gen, null_gen, sigma, ctx.pos_pad,
+                    cand, lo, hi, ist, ien,
+                    grid_points=G, chunk=ctx.chunk, start=ctx.start,
+                    n=ctx.n, w_pad=ctx.w_pad, eval_range=ctx.eval_range,
+                    n_pts=n_pts_pad, J=J,
+                )  # [R, n_pts_pad]
+                null_max = np.asarray(null_max)[:, : len(act)]
 
-                clr = _permute_round_chr(
-                    table_flat,
-                    row_gen,
-                    null_gen,
-                    sigma,
-                    ctx["pos_pad"],
-                    jnp.asarray(cand_d),
-                    jnp.asarray(lo_d),
-                    jnp.asarray(hi_d),
-                    grid_points=G,
-                    chunk=scan_cfg.chunk,
-                    start=ctx["start"],
-                    n=ctx["n"],
-                    w_pad=ctx["w_pad"],
-                )  # [R, p_pad]
-                clr = np.asarray(clr)[:, :P].reshape(R, nA, J)
-                clr = np.where(valid[None, :, :], clr, -np.inf)
-                null_max = clr.max(axis=2)  # [R, nA]
-
-                # host-side bookkeeping per active point
                 for a, pt in enumerate(act):
                     vals = null_max[:, a]
                     res = result.null_clr[pt]
@@ -264,7 +352,8 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig, dump_fn=Non
                         result.permute_n[pt] = rounds_done + int(e) + 1
                         if (
                             result.permute_p[pt] >= PRUNE_THRESHOLD
-                            and result.permute_p[pt] / max(result.permute_n[pt], 1)
+                            and result.permute_p[pt]
+                            / max(result.permute_n[pt], 1)
                             >= rng.random()
                         ):
                             result.permute_finished[pt] = True
@@ -275,10 +364,15 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig, dump_fn=Non
 
             rounds_done += R
             _progress()
+            if cfg.checkpoint_path:
+                save_checkpoint(cfg.checkpoint_path, result, rounds_done, cfg.seed)
             intr.maybe_dump()
 
-    logmsg(MSG_STATUS, "Scanning snp block permutations... finished (%d rounds).", rounds_done)
-    # anomaly report, like scan-chromosome.c:499-502
+    logmsg(
+        MSG_STATUS,
+        "Scanning snp block permutations... finished (%d rounds).",
+        rounds_done,
+    )
     bad = ~np.isfinite(result.clr)
     if bad.any():
         logmsg(MSG_WARN, "%d scan points with non-finite CLR", int(bad.sum()))

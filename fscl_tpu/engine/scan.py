@@ -22,7 +22,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.clr import two_stage_alpha_max
+from ..ops.lattice import LatticeTables, two_stage_lattice_max
 from ..ops.windows import candidate_windows
 from ..utils import MSG_STATUS, cr_logmsg
 
@@ -95,7 +95,7 @@ def chromosome_candidates(cl, cfg):
 class _ChromosomeBlock:
     """Device-resident padded site arrays for one chromosome."""
 
-    def __init__(self, data, cl, table_flat_dev):
+    def __init__(self, data, cl, lattice_tables):
         sl = slice(cl.start_index, cl.start_index + cl.n_snps)
         n = cl.n_snps
         w_pad = _pad_pow2(n)
@@ -111,7 +111,7 @@ class _ChromosomeBlock:
         self.pos = jnp.asarray(pos)
         self.row = jnp.asarray(row)
         self.null = jnp.asarray(null)
-        self.table_flat = table_flat_dev
+        self.lt = lattice_tables
 
     def eval_candidates(self, cand_flat, cfg, grid_points, row=None, null=None):
         """two-stage alpha max CLR for a flat candidate array (host in/out)."""
@@ -124,15 +124,14 @@ class _ChromosomeBlock:
         hi_d = np.zeros(p_pad, dtype=np.int32)
         lo_d[:P] = lo
         hi_d[:P] = hi
-        clr, la = two_stage_alpha_max(
-            self.table_flat,
+        clr, la = two_stage_lattice_max(
+            self.lt,
             self.row if row is None else row,
             self.pos,
             self.null if null is None else null,
             jnp.asarray(cand_d),
             jnp.asarray(lo_d),
             jnp.asarray(hi_d),
-            grid_points=grid_points,
             chunk=cfg.chunk,
         )
         return np.asarray(clr)[:P], np.asarray(la)[:P], ns, lo, hi
@@ -146,9 +145,9 @@ def refine_positions(best_pos, istart, iend, pitch):
     return cand
 
 
-def scan_genome(data, tables, cfg: ScanConfig) -> ScanResult:
+def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
     """Scan all chromosomes; returns one scan point per coarse interval."""
-    table_flat = jnp.asarray(tables.table.reshape(-1))
+    lattice = lattice or LatticeTables(tables.table, tables.grid_points)
     G = tables.grid_points
 
     out = {
@@ -167,7 +166,7 @@ def scan_genome(data, tables, cfg: ScanConfig) -> ScanResult:
     }
 
     for c, cl in enumerate(data.chr_limits):
-        blk = _ChromosomeBlock(data, cl, table_flat)
+        blk = _ChromosomeBlock(data, cl, lattice)
         cand, valid, istart, iend = chromosome_candidates(cl, cfg)
         n_int, J = cand.shape
         cr_logmsg(

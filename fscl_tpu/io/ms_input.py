@@ -133,7 +133,9 @@ def ms_pipeline(args, pipeline_fn):
     )
 
     from ..engine import PermuteConfig, ScanConfig, scan_genome, scan_permute
+    from ..ops.lattice import LatticeTables
 
+    lattice = LatticeTables(tables.table, tables.grid_points)
     scan_cfg = ScanConfig(
         eval_range=args.eval_range, bp_resl=args.bp_resl,
         small_grid_sp=args.fine_grid_spacing,
@@ -147,14 +149,16 @@ def ms_pipeline(args, pipeline_fn):
         args.ms_sample_first, args.ms_sample_size,
     ):
         data.attach_model(tables)
-        result = scan_genome(data, tables, scan_cfg)
+        result = scan_genome(data, tables, scan_cfg, lattice=lattice)
         if args.n_permute > 0:
             perm_cfg = PermuteConfig(
                 n_permute=args.n_permute, permute_nbp=args.permute_nbp,
                 scan_width_mb=args.sweep_width,
                 chunk_replicates=args.chunk_replicates, seed=args.seed,
             )
-            scan_permute(data, tables, result, scan_cfg, perm_cfg)
+            scan_permute(
+                data, tables, result, scan_cfg, perm_cfg, lattice=lattice
+            )
         scan_output(
             args.output_file, data, result,
             maximum_only=args.max_only, n_permute=args.n_permute,

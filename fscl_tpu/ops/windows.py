@@ -39,6 +39,32 @@ def nearest_snp_index(pos, cand_pos):
     return out.astype(np.int64)
 
 
+def device_windows(pos_pad, n, cand_pos, eval_range):
+    """jnp version of candidate_windows for on-device refinement.
+
+    pos_pad: padded sorted positions (pad value = huge); n: real site count
+    (static).  Returns (lo, hi) int32 with the same clamp semantics.
+    """
+    import jax.numpy as jnp
+
+    j = jnp.clip(jnp.searchsorted(pos_pad, cand_pos, side="left"), 1, n - 1)
+    i = j - 1
+    left_closer = (cand_pos - pos_pad[i]) < (pos_pad[j] - cand_pos)
+    ns = jnp.where(left_closer, i, j)
+    ns = jnp.where(cand_pos <= pos_pad[0], 0, ns)
+    ns = jnp.where(cand_pos >= pos_pad[n - 1], n - 1, ns)
+    er = eval_range
+    lo = ns - er
+    hi = ns + er
+    left = lo < 0
+    lo = jnp.where(left, 0, lo)
+    hi = jnp.where(left, jnp.minimum(2 * er, n - 1), hi)
+    right = (~left) & (ns + er > n - 1)
+    hi = jnp.where(right, n - 1, hi)
+    lo = jnp.where(right, jnp.maximum(n - 1 - 2 * er, 0), lo)
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+
 def candidate_windows(pos, cand_pos, eval_range):
     """(nearest, lo, hi) per candidate with reference edge clamping."""
     pos = np.asarray(pos)

@@ -1,0 +1,167 @@
+"""Tests: checkpoint/resume, ascbias-segments simulator, sharded engines."""
+
+import io
+
+import jax
+import numpy as np
+import pytest
+
+from fscl_tpu.engine import PermuteConfig, ScanConfig, scan_genome, scan_permute
+from fscl_tpu.models import background_fsp, build_tables
+from fscl_tpu.sim import simulate_dataset, write_snp_file
+from fscl_tpu.sim.ascbias_segments import draw_samples, extract_snps, neutral_block_source
+from fscl_tpu.io.ms_parser import MsParser
+
+
+@pytest.fixture(scope="module")
+def small_scan(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    sim = simulate_dataset(
+        seed=3, sample_size=20, snp_density=1.0, mb_length=2.0,
+        alpha=3e-5, n_sweeps=1,
+    )
+    path = d / "s.sf"
+    write_snp_file(path, sim["pos"], sim["freq"], sim["n"])
+
+    from fscl_tpu.io import load_snp_input
+
+    data = load_snp_input(path)
+    fsp = background_fsp(data.obs_freq, data.depth_p, data.folded, data.sample_depths)
+    tables = build_tables(fsp, data.sample_depths, grid_points=256)
+    data.attach_model(tables)
+    cfg = ScanConfig(
+        eval_range=600, small_grid_sp=20000, large_grid_sp=200000, refine=False
+    )
+    result = scan_genome(data, tables, cfg)
+    return data, tables, cfg, result
+
+
+def _clone_result(result):
+    import copy
+
+    r = copy.deepcopy(result)
+    r.permute_n[:] = 0
+    r.permute_p[:] = 0
+    r.permute_finished[:] = False
+    r.null_clr = [None] * r.n_points
+    return r
+
+
+class TestCheckpoint:
+    def test_resume_matches_uninterrupted(self, small_scan, tmp_path):
+        data, tables, cfg, result = small_scan
+        # uninterrupted 24 rounds
+        full = _clone_result(result)
+        scan_permute(
+            data, tables, full, cfg,
+            PermuteConfig(n_permute=24, chunk_replicates=8, seed=5),
+        )
+        # interrupted: 8 rounds, checkpoint, then resume to 24
+        ck = str(tmp_path / "perm.ckpt.npz")
+        part = _clone_result(result)
+        scan_permute(
+            data, tables, part, cfg,
+            PermuteConfig(n_permute=8, chunk_replicates=8, seed=5, checkpoint_path=ck),
+        )
+        resumed = _clone_result(result)
+        scan_permute(
+            data, tables, resumed, cfg,
+            PermuteConfig(n_permute=24, chunk_replicates=8, seed=5, checkpoint_path=ck),
+        )
+        # pruning RNG consumption differs between the two schedules, so
+        # compare the permutation stream itself: null CLR reservoirs match
+        # for points that were never pruned in either run
+        never_pruned = ~(full.permute_finished | resumed.permute_finished)
+        assert never_pruned.any()
+        for i in np.where(never_pruned)[0]:
+            np.testing.assert_allclose(
+                sorted(full.null_clr[i]), sorted(resumed.null_clr[i]), rtol=1e-5
+            )
+            assert resumed.permute_n[i] == 24
+
+    def test_checkpoint_rejects_mismatched_scan(self, small_scan, tmp_path):
+        from fscl_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+
+        data, tables, cfg, result = small_scan
+        ck = str(tmp_path / "x.npz")
+        r1 = _clone_result(result)
+        save_checkpoint(ck, r1, rounds_done=4, seed=1)
+        r2 = _clone_result(result)
+        r2.clr = r2.clr + 5.0
+        with pytest.raises(ValueError):
+            load_checkpoint(ck, r2)
+
+
+class TestAscbiasSegments:
+    def test_extract_snps_rule(self):
+        from fscl_tpu.io.ms_parser import MsBlock
+
+        haps = np.array(
+            [
+                [1, 0, 1, 1],
+                [0, 0, 1, 1],
+                [0, 1, 0, 1],  # rows 0-1 are the asc panel (asc_depth=2)
+                [0, 1, 0, 0],
+            ],
+            dtype=np.uint8,
+        )
+        blk = MsBlock(
+            segments=[], prob=0.0,
+            positions=np.array([0.1, 0.2, 0.3, 0.4]), haplotypes=haps,
+        )
+        pos, alleles = extract_snps(blk, 0, 1000, asc_depth=2, double_hit=False)
+        # panel counts per site: [1, 0, 2, 2] -> keep d in (0, 2) -> site 0 only
+        np.testing.assert_array_equal(pos, [100])
+        assert alleles.shape == (1, 4)
+
+    def test_draw_samples_roundtrip(self):
+        rng = np.random.default_rng(0)
+        buf = io.StringIO()
+        draw_samples(
+            buf, n_repl=2, sample_size=10, mb_length=2, n_snps=50,
+            asc_depth=4, double_hit=False, rho_mb=0.0, rho_std=0.0,
+            block_source=neutral_block_source(rng), seed=1,
+        )
+        buf.seek(0)
+        header = buf.readline()
+        assert header.startswith("ms 10 2 -s 50")
+        buf.readline()  # seeds
+        p = MsParser(buf)
+        b1 = p.next_block()
+        b2 = p.next_block()
+        assert b1.n_poly == 50 and b2.n_poly == 50
+        assert b1.n_haplotypes == 10
+        assert p.next_block() is None
+        # ascertained data: every kept site is polymorphic in the panel
+        d = b1.haplotypes[:4].sum(axis=0)
+        assert ((d > 0) & (d < 4)).all()
+        # positions sorted
+        assert (np.diff(b1.positions) >= 0).all()
+
+
+class TestShardedEngines:
+    def test_sharded_scan_matches_single(self):
+        import jax.numpy as jnp
+
+        import __graft_entry__ as g
+        from fscl_tpu.ops.clr import two_stage_alpha_max
+        from fscl_tpu.parallel import make_scan_mesh, sharded_scan_eval
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        tables, pos, row, null, cand, lo, hi = g._example_problem(
+            n_sites=512, n_cand=32, grid_points=256
+        )
+        G = tables.grid_points
+        tf = jnp.asarray(tables.table.reshape(-1))
+        args = (tf, jnp.asarray(row), jnp.asarray(pos), jnp.asarray(null))
+        mesh = make_scan_mesh(n_perm=2, n_site=2, devices=jax.devices()[:4])
+        clr_s, la_s = sharded_scan_eval(
+            mesh, *args, jnp.asarray(cand), jnp.asarray(lo), jnp.asarray(hi),
+            grid_points=G, chunk=8,
+        )
+        clr_1, la_1 = two_stage_alpha_max(
+            *args, jnp.asarray(cand), jnp.asarray(lo), jnp.asarray(hi),
+            grid_points=G, chunk=8,
+        )
+        np.testing.assert_allclose(np.asarray(clr_s), np.asarray(clr_1), rtol=1e-5)
