@@ -160,21 +160,25 @@ def _pipeline_snp_data(data: SNPData, args):
     if args.no_scan:
         return None
 
+    from .utils.timing import phase
+
     logmsg(MSG_STATUS, "Computing sweep models for all sample depths")
-    tables = build_tables(
-        fsp,
-        data.sample_depths,
-        grid_points=args.grid_points,
-        asc_depth=args.asc_depth,
-        asc_min_freq=args.asc_minimum_freq,
-        ascbias_background_only=args.ascbias_background_only,
-        include_invariant=args.include_invariant,
-    )
+    with phase("tables"):
+        tables = build_tables(
+            fsp,
+            data.sample_depths,
+            grid_points=args.grid_points,
+            asc_depth=args.asc_depth,
+            asc_min_freq=args.asc_minimum_freq,
+            ascbias_background_only=args.ascbias_background_only,
+            include_invariant=args.include_invariant,
+        )
     data.attach_model(tables)
 
     from .ops.lattice import LatticeTables
 
-    lattice = LatticeTables(tables.table, tables.grid_points)
+    with phase("lattice-pack"):
+        lattice = LatticeTables(tables.table, tables.grid_points)
     scan_cfg = ScanConfig(
         eval_range=args.eval_range,
         bp_resl=args.bp_resl,
@@ -183,7 +187,8 @@ def _pipeline_snp_data(data: SNPData, args):
         chunk=args.chunk,
         refine=not args.no_refine,
     )
-    result = scan_genome(data, tables, scan_cfg, lattice=lattice)
+    with phase("scan"):
+        result = scan_genome(data, tables, scan_cfg, lattice=lattice)
 
     if args.n_permute > 0:
         perm_cfg = PermuteConfig(
@@ -203,10 +208,11 @@ def _pipeline_snp_data(data: SNPData, args):
             )
             write_null_distribution(args.output_file, data, result)
 
-        scan_permute(
-            data, tables, result, scan_cfg, perm_cfg, dump_fn=dump,
-            lattice=lattice,
-        )
+        with phase("permute"):
+            scan_permute(
+                data, tables, result, scan_cfg, perm_cfg, dump_fn=dump,
+                lattice=lattice,
+            )
     return result
 
 

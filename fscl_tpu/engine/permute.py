@@ -40,7 +40,7 @@ from ..ops.lattice import LatticeTables, _two_stage_impl
 from ..ops.permute import block_permutation_indices
 from ..ops.windows import candidate_windows, device_windows
 from ..utils import MSG_STATUS, MSG_WARN, cr_logmsg, logmsg
-from .scan import _pad_pow2
+from .scan import _pad_pow2, _pad_sites
 
 CLR_NULL_DIST_SAVE = 10000  # scan-chromosome.c:227
 PRUNE_THRESHOLD = 20  # scan-chromosome.c:490
@@ -204,7 +204,7 @@ class _ChrPermContext:
         n = cl.n_snps
         self.start = cl.start_index
         self.n = n
-        self.w_pad = _pad_pow2(n)
+        self.w_pad = _pad_sites(n)
         pos_pad = np.full(
             self.w_pad, np.iinfo(np.int32).max // 2, dtype=np.int32
         )
@@ -331,14 +331,33 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 cand, lo, hi, ist, ien, n_pts_pad, J = ctx.build_batch(
                     result, act
                 )
-                null_max = _permute_batch_chr(
-                    *packs, row_gen, null_gen, sigma, ctx.pos_pad,
-                    cand, lo, hi, ist, ien,
-                    grid_points=G, chunk=ctx.chunk, start=ctx.start,
-                    n=ctx.n, w_pad=ctx.w_pad, eval_range=ctx.eval_range,
-                    n_pts=n_pts_pad, J=J,
-                )  # [R, n_pts_pad]
-                null_max = np.asarray(null_max)[:, : len(act)]
+                # split replicates so a single dispatch stays under the work
+                # cap (long dispatches can trip TPU-runtime watchdogs)
+                per_rep = n_pts_pad * (J + 17) * ctx.w_pad
+                r_sub = int(
+                    max(1, min(R, scan_cfg.dispatch_cap // max(per_rep, 1)))
+                )
+                outs = []
+                for r0 in range(0, R, r_sub):
+                    outs.append(
+                        _permute_batch_chr(
+                            *packs, row_gen, null_gen,
+                            sigma[r0 : r0 + r_sub]
+                            if r0 + r_sub <= R
+                            else sigma[R - r_sub : R],
+                            ctx.pos_pad, cand, lo, hi, ist, ien,
+                            grid_points=G, chunk=ctx.chunk, start=ctx.start,
+                            n=ctx.n, w_pad=ctx.w_pad,
+                            eval_range=ctx.eval_range,
+                            n_pts=n_pts_pad, J=J,
+                        )
+                    )
+                # a ragged final sub-batch re-uses the last full-size window
+                # of sigma to keep shapes static; drop the overlap
+                mats = [np.asarray(o) for o in outs]
+                if len(mats) > 1 and R % r_sub:
+                    mats[-1] = mats[-1][-(R % r_sub):]
+                null_max = np.concatenate(mats, axis=0)[:, : len(act)]
 
                 for a, pt in enumerate(act):
                     vals = null_max[:, a]

@@ -35,6 +35,10 @@ class ScanConfig:
     large_grid_sp: int = 100000  # coarse interval width in bp (fscl.c:159)
     chunk: int = 8  # candidate chunk in the CLR kernel
     refine: bool = True  # bp_resl refinement pass
+    # cap on (candidates x padded sites) per device dispatch: long single
+    # dispatches (> ~20s) can trip TPU-runtime watchdogs; work beyond the
+    # cap is split into multiple dispatches on the host.
+    dispatch_cap: int = 700_000_000
 
 
 @dataclasses.dataclass
@@ -65,6 +69,13 @@ def _pad_pow2(n, minimum=256):
     while p < n:
         p *= 2
     return p
+
+
+def _pad_sites(n, quantum=4096):
+    """Site-axis padding: multiples of ``quantum`` (pow2 padding wastes up
+    to 2x gather work on the hot axis; a 4096 quantum keeps recompiles rare
+    while capping waste at ~20%)."""
+    return max(-(-n // quantum) * quantum, quantum)
 
 
 def chromosome_candidates(cl, cfg):
@@ -98,7 +109,7 @@ class _ChromosomeBlock:
     def __init__(self, data, cl, lattice_tables):
         sl = slice(cl.start_index, cl.start_index + cl.n_snps)
         n = cl.n_snps
-        w_pad = _pad_pow2(n)
+        w_pad = _pad_sites(n)
         pos = np.full(w_pad, np.iinfo(np.int32).max // 2, dtype=np.int32)
         pos[:n] = data.pos[sl]
         row = np.zeros(w_pad, dtype=np.int32)
@@ -114,7 +125,23 @@ class _ChromosomeBlock:
         self.lt = lattice_tables
 
     def eval_candidates(self, cand_flat, cfg, grid_points, row=None, null=None):
-        """two-stage alpha max CLR for a flat candidate array (host in/out)."""
+        """Three-stage alpha max CLR for a flat candidate array (host I/O).
+
+        Splits into multiple dispatches when P x W exceeds cfg.dispatch_cap
+        (long single dispatches can trip TPU-runtime watchdogs).
+        """
+        P_total = len(cand_flat)
+        max_p = max(cfg.dispatch_cap // max(self.w_pad, 1), cfg.chunk)
+        if P_total > max_p:
+            outs = [
+                self.eval_candidates(
+                    cand_flat[i : i + max_p], cfg, grid_points, row=row, null=null
+                )
+                for i in range(0, P_total, max_p)
+            ]
+            return tuple(
+                np.concatenate([o[j] for o in outs]) for j in range(5)
+            )
         ns, lo, hi = candidate_windows(self.pos_np, cand_flat, cfg.eval_range)
         P = len(cand_flat)
         p_pad = _pad_pow2(P, minimum=cfg.chunk)

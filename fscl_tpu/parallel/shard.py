@@ -2,36 +2,38 @@
 
 Replaces the reference's pthread work queues (scan-chromosome.c:162-216,
 469-487): the candidate axis is block-sharded over "site" devices and the
-permutation-replicate axis over "perm" devices.  Site data and the model
-table are replicated (they are small relative to the [R, P, A] compute), so
-the only collective is the psum that merges exceedance counts — the merge the
-dead master/slave stub (fscl-master.c) never implemented.
+permutation-replicate axis over "perm" devices.  Site data and the lattice
+packs are replicated (they are small relative to the per-candidate compute),
+so the only collective is the psum that merges exceedance counts — the merge
+the dead master/slave stub (fscl-master.c) never implemented.
+
+Both steps run the production lattice kernel (ops/lattice.py).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..ops.clr import two_stage_alpha_max
+from ..ops.lattice import _two_stage_impl
 
 
-def sharded_scan_eval(mesh, table_flat, row, pos, null, cand, lo, hi,
-                      *, grid_points, chunk=8):
+def sharded_scan_eval(mesh, lt, row, pos, null, cand, lo, hi, *, chunk=8):
     """Observed scan: candidates sharded over every device in the mesh.
 
     The (perm, site) mesh is flattened for the observed pass — there is no
     replicate axis yet, so all devices take a slice of candidates.
     Candidate count must be divisible by the device count (callers pad).
+    Returns (clr [P], lalpha [P]).
     """
 
     def local(cand_l, lo_l, hi_l):
-        return two_stage_alpha_max(
-            table_flat, row, pos, null, cand_l, lo_l, hi_l,
-            grid_points=grid_points, chunk=chunk,
+        return _two_stage_impl(
+            lt.pack_coarse, lt.pack_fine, lt.m_coarse_dev, lt.m_fine_dev,
+            row, pos, null, cand_l, lo_l, hi_l,
+            grid_points=lt.grid_points, chunk=chunk,
+            pack_ultra=lt.pack_ultra, m_ultra=lt.m_ultra_dev,
         )
 
     spec = P(("perm", "site"))
@@ -45,27 +47,13 @@ def sharded_scan_eval(mesh, table_flat, row, pos, null, cand, lo, hi,
 
 
 def sharded_permute_chunk(
-    mesh,
-    table_flat,
-    row_gen,
-    null_gen,
-    sigma,
-    pos_pad,
-    cand,
-    lo,
-    hi,
-    thresholds,
-    *,
-    grid_points,
-    chunk,
-    start,
-    n,
-    w_pad,
+    mesh, lt, row_gen, null_gen, sigma, pos_pad, cand, lo, hi, thresholds,
+    *, chunk, start, n, w_pad,
 ):
     """One permutation chunk: replicates over "perm", candidates over "site".
 
     sigma [R, N_genome] is sharded over "perm"; cand/lo/hi/thresholds [P]
-    over "site"; genome attribute arrays and the table are replicated.
+    over "site"; genome attribute arrays and the packs are replicated.
     Returns (clr [R, P] sharded (perm, site), exceed [P] psum'd over perm).
     R and P must be divisible by the respective mesh axis sizes.
     """
@@ -75,9 +63,10 @@ def sharded_permute_chunk(
             idx = jax.lax.dynamic_slice(sig_r, (start,), (n,))
             row = jnp.pad(row_gen[idx], (0, w_pad - n))
             null = jnp.pad(null_gen[idx], (0, w_pad - n))
-            clr, _ = two_stage_alpha_max(
-                table_flat, row, pos_pad, null, cand_l, lo_l, hi_l,
-                grid_points=grid_points, chunk=chunk,
+            clr, _ = _two_stage_impl(
+                lt.pack_coarse, lt.pack_fine, lt.m_coarse_dev, lt.m_fine_dev,
+                row, pos_pad, null, cand_l, lo_l, hi_l,
+                grid_points=lt.grid_points, chunk=chunk,
             )
             return clr
 

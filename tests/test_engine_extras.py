@@ -144,7 +144,7 @@ class TestShardedEngines:
         import jax.numpy as jnp
 
         import __graft_entry__ as g
-        from fscl_tpu.ops.clr import two_stage_alpha_max
+        from fscl_tpu.ops.lattice import LatticeTables, two_stage_lattice_max
         from fscl_tpu.parallel import make_scan_mesh, sharded_scan_eval
 
         if len(jax.devices()) < 4:
@@ -152,16 +152,15 @@ class TestShardedEngines:
         tables, pos, row, null, cand, lo, hi = g._example_problem(
             n_sites=512, n_cand=32, grid_points=256
         )
-        G = tables.grid_points
-        tf = jnp.asarray(tables.table.reshape(-1))
-        args = (tf, jnp.asarray(row), jnp.asarray(pos), jnp.asarray(null))
+        lt = LatticeTables(tables.table, tables.grid_points)
+        args = (jnp.asarray(row), jnp.asarray(pos), jnp.asarray(null))
         mesh = make_scan_mesh(n_perm=2, n_site=2, devices=jax.devices()[:4])
         clr_s, la_s = sharded_scan_eval(
-            mesh, *args, jnp.asarray(cand), jnp.asarray(lo), jnp.asarray(hi),
-            grid_points=G, chunk=8,
+            mesh, lt, *args, jnp.asarray(cand), jnp.asarray(lo), jnp.asarray(hi),
+            chunk=8,
         )
-        clr_1, la_1 = two_stage_alpha_max(
-            *args, jnp.asarray(cand), jnp.asarray(lo), jnp.asarray(hi),
-            grid_points=G, chunk=8,
+        clr_1, la_1 = two_stage_lattice_max(
+            lt, *args, jnp.asarray(cand), jnp.asarray(lo), jnp.asarray(hi),
+            chunk=8,
         )
         np.testing.assert_allclose(np.asarray(clr_s), np.asarray(clr_1), rtol=1e-5)
