@@ -31,6 +31,27 @@ sys.path.insert(0, str(REPO))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
+
+def _enable_compile_cache():
+    """Persistent compilation cache: compiles through the axon TPU tunnel
+    take minutes; with the cache they are ~0.1s on later runs.  The env var
+    JAX_COMPILATION_CACHE_DIR alone is not honored in this environment —
+    jax.config.update is required."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           str(REPO / ".jax_cache")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 BENCH_SEED = 42
 SAMPLE_N = 50
 MB_LENGTH = 20.0

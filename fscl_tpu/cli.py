@@ -216,7 +216,28 @@ def _pipeline_snp_data(data: SNPData, args):
     return result
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache (compiles through remote TPU tunnels can
+    take minutes; cached recompiles are ~0.1s)."""
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.join(os.path.expanduser("~"), ".cache", "fscl_tpu_xla"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     args = validate_args(build_parser().parse_args(argv))
 
     if args.msfile:
