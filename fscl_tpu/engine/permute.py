@@ -46,6 +46,8 @@ CLR_NULL_DIST_SAVE = 10000  # scan-chromosome.c:227
 PRUNE_THRESHOLD = 20  # scan-chromosome.c:490
 N_PERM_POS = 13  # fixed subgrid positions per interval
 N_ZOOM = 17  # adaptive zoom probes around the subgrid winner
+POINT_BUCKET = 64  # scan points per dispatch (one compiled shape)
+REP_SUB = 8  # replicates per dispatch (one compiled shape)
 
 
 @dataclasses.dataclass
@@ -217,11 +219,13 @@ class _ChrPermContext:
         self.chunk = scan_cfg.chunk
         self._cache = {}
 
-    def build_batch(self, result, pts_subset):
-        """(device arrays, n_pts_pad, J) for an active subset, bucketed."""
+    def build_batch(self, result, pts_subset, fixed_bucket=None):
+        """(device arrays, n_pts_pad, J) for an active subset, bucketed.
+
+        With ``fixed_bucket`` the batch is padded to exactly that many points
+        so every call shares one compiled shape."""
         nA = len(pts_subset)
-        n_pts_pad = _pad_pow2(nA, minimum=4)
-        key = n_pts_pad
+        n_pts_pad = fixed_bucket or _pad_pow2(nA, minimum=4)
         ist = np.zeros(n_pts_pad, dtype=np.int64)
         ien = np.zeros(n_pts_pad, dtype=np.int64)
         ist[:nA] = result.interval_start[pts_subset]
@@ -279,20 +283,25 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
             continue
         ctx = _ChrPermContext(data, cl, scan_cfg, result, pts)
         chr_ctx.append(ctx)
-        # observed thresholds under the identical statistic
-        cand, lo, hi, ist, ien, n_pts_pad, J = ctx.build_batch(result, pts)
+        # observed thresholds under the identical statistic, in the same
+        # fixed-size point buckets the permutation rounds use
         row_pad = jnp.pad(
             row_gen[ctx.start : ctx.start + ctx.n], (0, ctx.w_pad - ctx.n)
         )
         null_pad = jnp.pad(
             null_gen[ctx.start : ctx.start + ctx.n], (0, ctx.w_pad - ctx.n)
         )
-        obs = _observed_stat_chr(
-            *packs, row_pad, null_pad, ctx.pos_pad, cand, lo, hi, ist, ien,
-            grid_points=G, chunk=ctx.chunk, n=ctx.n,
-            eval_range=ctx.eval_range, n_pts=n_pts_pad, J=J,
-        )
-        threshold[pts] = np.asarray(obs)[: len(pts)]
+        for g0 in range(0, len(pts), POINT_BUCKET):
+            grp = pts[g0 : g0 + POINT_BUCKET]
+            cand, lo, hi, ist, ien, n_pts_pad, J = ctx.build_batch(
+                result, grp, fixed_bucket=POINT_BUCKET
+            )
+            obs = _observed_stat_chr(
+                *packs, row_pad, null_pad, ctx.pos_pad, cand, lo, hi, ist,
+                ien, grid_points=G, chunk=ctx.chunk, n=ctx.n,
+                eval_range=ctx.eval_range, n_pts=n_pts_pad, J=J,
+            )
+            threshold[grp] = np.asarray(obs)[: len(grp)]
 
     rounds_done = 0
     if cfg.checkpoint_path:
@@ -324,62 +333,66 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
             sub = jax.random.fold_in(key0, rounds_done)
             sigma = block_permutation_indices(sub, gpos, width_bp, R)
 
-            for ctx in chr_ctx:
-                act = ctx.point_ids[active[ctx.point_ids]]
-                if len(act) == 0:
-                    continue
-                cand, lo, hi, ist, ien, n_pts_pad, J = ctx.build_batch(
-                    result, act
+            # pad the replicate axis to a multiple of REP_SUB by repeating
+            # the last row (extra results are discarded) so every dispatch
+            # has the one compiled shape (REP_SUB x POINT_BUCKET)
+            R_pad = -(-R // REP_SUB) * REP_SUB
+            sigma_p = (
+                jnp.concatenate(
+                    [sigma, jnp.tile(sigma[-1:], (R_pad - R, 1))], axis=0
                 )
-                # split replicates so a single dispatch stays under the work
-                # cap (long dispatches can trip TPU-runtime watchdogs)
-                per_rep = n_pts_pad * (J + 17) * ctx.w_pad
-                r_sub = int(
-                    max(1, min(R, scan_cfg.dispatch_cap // max(per_rep, 1)))
-                )
-                outs = []
-                for r0 in range(0, R, r_sub):
-                    outs.append(
-                        _permute_batch_chr(
-                            *packs, row_gen, null_gen,
-                            sigma[r0 : r0 + r_sub]
-                            if r0 + r_sub <= R
-                            else sigma[R - r_sub : R],
-                            ctx.pos_pad, cand, lo, hi, ist, ien,
-                            grid_points=G, chunk=ctx.chunk, start=ctx.start,
-                            n=ctx.n, w_pad=ctx.w_pad,
-                            eval_range=ctx.eval_range,
-                            n_pts=n_pts_pad, J=J,
-                        )
-                    )
-                # a ragged final sub-batch re-uses the last full-size window
-                # of sigma to keep shapes static; drop the overlap
-                mats = [np.asarray(o) for o in outs]
-                if len(mats) > 1 and R % r_sub:
-                    mats[-1] = mats[-1][-(R % r_sub):]
-                null_max = np.concatenate(mats, axis=0)[:, : len(act)]
+                if R_pad != R
+                else sigma
+            )
 
-                for a, pt in enumerate(act):
-                    vals = null_max[:, a]
-                    res = result.null_clr[pt]
-                    take = max(0, cfg.null_dist_save - len(res))
-                    if take:
-                        res.extend(vals[:take].tolist())
-                    exceed = vals >= threshold[pt]
-                    for e in np.where(exceed)[0]:
-                        result.permute_p[pt] += 1
-                        result.permute_n[pt] = rounds_done + int(e) + 1
-                        if (
-                            result.permute_p[pt] >= PRUNE_THRESHOLD
-                            and result.permute_p[pt]
-                            / max(result.permute_n[pt], 1)
-                            >= rng.random()
-                        ):
-                            result.permute_finished[pt] = True
-                            break
-                    if not result.permute_finished[pt]:
-                        result.permute_n[pt] = rounds_done + R
-                    active[pt] = not result.permute_finished[pt]
+            for ctx in chr_ctx:
+                act_all = ctx.point_ids[active[ctx.point_ids]]
+                if len(act_all) == 0:
+                    continue
+                group_mats = []
+                for g0 in range(0, len(act_all), POINT_BUCKET):
+                    act = act_all[g0 : g0 + POINT_BUCKET]
+                    cand, lo, hi, ist, ien, n_pts_pad, J = ctx.build_batch(
+                        result, act, fixed_bucket=POINT_BUCKET
+                    )
+                    outs = []
+                    for r0 in range(0, R_pad, REP_SUB):
+                        outs.append(
+                            _permute_batch_chr(
+                                *packs, row_gen, null_gen,
+                                sigma_p[r0 : r0 + REP_SUB],
+                                ctx.pos_pad, cand, lo, hi, ist, ien,
+                                grid_points=G, chunk=ctx.chunk,
+                                start=ctx.start, n=ctx.n, w_pad=ctx.w_pad,
+                                eval_range=ctx.eval_range,
+                                n_pts=n_pts_pad, J=J,
+                            )
+                        )
+                    nm = np.concatenate([np.asarray(o) for o in outs], axis=0)
+                    group_mats.append((act, nm[:R, : len(act)]))
+
+                for act, null_max in group_mats:
+                  for a, pt in enumerate(act):
+                      vals = null_max[:, a]
+                      res = result.null_clr[pt]
+                      take = max(0, cfg.null_dist_save - len(res))
+                      if take:
+                          res.extend(vals[:take].tolist())
+                      exceed = vals >= threshold[pt]
+                      for e in np.where(exceed)[0]:
+                          result.permute_p[pt] += 1
+                          result.permute_n[pt] = rounds_done + int(e) + 1
+                          if (
+                              result.permute_p[pt] >= PRUNE_THRESHOLD
+                              and result.permute_p[pt]
+                              / max(result.permute_n[pt], 1)
+                              >= rng.random()
+                          ):
+                              result.permute_finished[pt] = True
+                              break
+                      if not result.permute_finished[pt]:
+                          result.permute_n[pt] = rounds_done + R
+                      active[pt] = not result.permute_finished[pt]
 
             rounds_done += R
             _progress()

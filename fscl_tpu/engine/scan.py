@@ -36,9 +36,11 @@ class ScanConfig:
     chunk: int = 8  # candidate chunk in the CLR kernel
     refine: bool = True  # bp_resl refinement pass
     # cap on (candidates x padded sites) per device dispatch: long single
-    # dispatches (> ~20s) can trip TPU-runtime watchdogs; work beyond the
-    # cap is split into multiple dispatches on the host.
-    dispatch_cap: int = 700_000_000
+    # dispatches (> ~20s) can trip TPU-runtime watchdogs, and every distinct
+    # shape costs a (minutes-long, tunnel-remote) compile.  A small cap keeps
+    # the candidate padding at one fixed bucket (4096) for ALL calls, so each
+    # chromosome size compiles exactly once.
+    dispatch_cap: int = 4096 * 24576
 
 
 @dataclasses.dataclass
@@ -144,7 +146,8 @@ class _ChromosomeBlock:
             )
         ns, lo, hi = candidate_windows(self.pos_np, cand_flat, cfg.eval_range)
         P = len(cand_flat)
-        p_pad = _pad_pow2(P, minimum=cfg.chunk)
+        # fixed candidate bucket: one compiled shape per chromosome size
+        p_pad = 4096 if P <= 4096 else _pad_pow2(P, minimum=cfg.chunk)
         cand_d = np.zeros(p_pad, dtype=np.int32)
         cand_d[:P] = cand_flat
         lo_d = np.ones(p_pad, dtype=np.int32)

@@ -25,7 +25,7 @@ import sys
 
 import numpy as np
 
-from ..io.ms_parser import MsBlock, MsParser, msparser_execute
+from ..io.ms_parser import MsBlock, msparser_execute
 
 
 def neutral_block_source(rng):

@@ -4,10 +4,7 @@ import io
 import textwrap
 
 import numpy as np
-import pytest
-
 from fscl_tpu.io.ms_parser import (
-    MsBlock,
     MsParser,
     msblock_fsbranch_lengths,
     msblock_sfs,

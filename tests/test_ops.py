@@ -3,8 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
-
 from fscl_tpu import LOG_AD_MAX, LOG_AD_MIN
 from fscl_tpu.models import build_tables
 from fscl_tpu.ops import (
