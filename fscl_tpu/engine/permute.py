@@ -36,6 +36,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.histclr import (
+    build_hist_points,
+    build_hist_tables,
+    hist_clr,
+    hist_supported,
+)
 from ..ops.lattice import LatticeTables, _two_stage_impl
 from ..ops.permute import block_permutation_indices
 from ..ops.windows import candidate_windows, device_windows
@@ -48,6 +54,7 @@ N_PERM_POS = 13  # fixed subgrid positions per interval
 N_ZOOM = 17  # adaptive zoom probes around the subgrid winner
 POINT_BUCKET = 64  # scan points per dispatch (one compiled shape)
 REP_SUB = 8  # replicates per dispatch (one compiled shape)
+HIST_REP_SUB = 16  # replicates per dispatch on the histogram fast path
 
 
 @dataclasses.dataclass
@@ -62,6 +69,11 @@ class PermuteConfig:
     alpha_factor: float = 1.0  # accepted and unused, like the reference
     checkpoint_path: str | None = None  # .npz saved after each chunk; a
     # pre-existing file resumes the run (engine/checkpoint.py)
+    # histogram fast path (ops/histclr.py): run-length CLR with dense alphas;
+    # auto-disabled for many-depth data (rows > 128) or huge chromosomes
+    use_hist: bool = True
+    hist_positions: int = N_PERM_POS  # per-interval position subgrid
+    hist_alphas: int = 128  # dense lattice alpha grid (pitch ~0.19 log-units)
 
 
 def _stat_max(
@@ -249,6 +261,39 @@ class _ChrPermContext:
         )
 
 
+def _apply_round_updates(result, active, threshold, rng, cfg, act, null_max,
+                         rounds_done, R):
+    """Exceedance counting + probabilistic pruning for one round's results.
+
+    Mirrors scan-chromosome.c:488-498: an exceedance when the permuted max
+    CLR >= the observed statistic; once permute_p >= 20 the point finishes
+    with probability permute_p/permute_n per additional exceedance; the first
+    null_dist_save null CLRs are retained.
+    """
+    for a, pt in enumerate(act):
+        if result.permute_finished[pt]:
+            continue
+        vals = null_max[:, a]
+        res = result.null_clr[pt]
+        take = max(0, cfg.null_dist_save - len(res))
+        if take:
+            res.extend(vals[:take].tolist())
+        exceed = vals >= threshold[pt]
+        for e in np.where(exceed)[0]:
+            result.permute_p[pt] += 1
+            result.permute_n[pt] = rounds_done + int(e) + 1
+            if (
+                result.permute_p[pt] >= PRUNE_THRESHOLD
+                and result.permute_p[pt] / max(result.permute_n[pt], 1)
+                >= rng.random()
+            ):
+                result.permute_finished[pt] = True
+                break
+        if not result.permute_finished[pt]:
+            result.permute_n[pt] = rounds_done + R
+        active[pt] = not result.permute_finished[pt]
+
+
 def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
                  dump_fn=None, lattice=None):
     """Run up to cfg.n_permute block-permutation rounds with pruning.
@@ -258,6 +303,19 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
     """
     if cfg.n_permute <= 0:
         return result
+    if cfg.use_hist:
+        rows_used = np.unique(np.asarray(data.row))
+        max_n = max((cl.n_snps for cl in data.chr_limits), default=0)
+        if hist_supported(len(rows_used), max_n):
+            return _scan_permute_hist(
+                data, tables, result, scan_cfg, cfg, rows_used, dump_fn
+            )
+        logmsg(
+            MSG_STATUS,
+            "histogram permutation path unsupported here "
+            "(%d distinct rows, %d sites); using the lattice path",
+            len(rows_used), max_n,
+        )
 
     rng = np.random.default_rng(cfg.seed)
     key0 = jax.random.key(cfg.seed)
@@ -372,27 +430,10 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
                     group_mats.append((act, nm[:R, : len(act)]))
 
                 for act, null_max in group_mats:
-                  for a, pt in enumerate(act):
-                      vals = null_max[:, a]
-                      res = result.null_clr[pt]
-                      take = max(0, cfg.null_dist_save - len(res))
-                      if take:
-                          res.extend(vals[:take].tolist())
-                      exceed = vals >= threshold[pt]
-                      for e in np.where(exceed)[0]:
-                          result.permute_p[pt] += 1
-                          result.permute_n[pt] = rounds_done + int(e) + 1
-                          if (
-                              result.permute_p[pt] >= PRUNE_THRESHOLD
-                              and result.permute_p[pt]
-                              / max(result.permute_n[pt], 1)
-                              >= rng.random()
-                          ):
-                              result.permute_finished[pt] = True
-                              break
-                      if not result.permute_finished[pt]:
-                          result.permute_n[pt] = rounds_done + R
-                      active[pt] = not result.permute_finished[pt]
+                    _apply_round_updates(
+                        result, active, threshold, rng, cfg, act, null_max,
+                        rounds_done, R,
+                    )
 
             rounds_done += R
             _progress()
@@ -408,4 +449,215 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
     bad = ~np.isfinite(result.clr)
     if bad.any():
         logmsg(MSG_WARN, "%d scan points with non-finite CLR", int(bad.sum()))
+    return result
+
+
+HIST_ZOOM = 17  # zoom probes around the subgrid winner (matches N_ZOOM)
+HIST_ZOOM_DIV = 8  # zoom pitch = subgrid pitch / 8 (matches legacy _stat_max)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_cells", "n_rows", "n_alpha", "c_sub", "start", "n", "w_pad",
+        "n_pts", "J", "Jf",
+    ),
+)
+def _hist_perm_batch(t3, bounds, fbar, row_cg, sigma,
+                     *, n_cells, n_rows, n_alpha, c_sub, start, n, w_pad,
+                     n_pts, J, Jf):
+    """Statistic maxima per (replicate, point); returns [R, n_pts].
+
+    Two-stage position search mirroring the legacy statistic (_stat_max):
+    stage A evaluates the J-point coarse subgrid (every HIST_ZOOM_DIV-th row
+    of the precomputed fine grid); stage B evaluates HIST_ZOOM probes at
+    fine pitch around each interval's stage-A winner, *selecting* their
+    precomputed (bounds, fbar) rows on device — no per-replicate boundary
+    search.  Both stages use the dense n_alpha lattice alpha grid.
+    """
+    NZ = HIST_ZOOM
+    bounds_f = bounds.reshape(n_pts, Jf, 2, -1)
+    fbar_f = fbar.reshape(n_pts, Jf, 2, -1)
+    coarse_idx = jnp.arange(J, dtype=jnp.int32) * HIST_ZOOM_DIV  # [J]
+
+    def one_rep(sig_r):
+        idx = jax.lax.dynamic_slice(sig_r, (start,), (n,))
+        rc = jnp.pad(row_cg[idx], (0, w_pad - n), constant_values=n_rows)
+        b_a = bounds_f[:, coarse_idx].reshape(n_pts * J, 2, -1)
+        f_a = fbar_f[:, coarse_idx].reshape(n_pts * J, 2, -1)
+        clr_a = hist_clr(
+            t3, b_a, f_a, rc,
+            n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub,
+        ).reshape(n_pts, J, n_alpha)
+        best_a = clr_a.max(axis=(1, 2))
+        jwin = jnp.argmax(clr_a.max(axis=2), axis=1).astype(jnp.int32)  # [n_pts]
+        zoom = jnp.clip(
+            (jwin * HIST_ZOOM_DIV)[:, None]
+            + (jnp.arange(NZ, dtype=jnp.int32) - NZ // 2)[None, :],
+            0, Jf - 1,
+        )  # [n_pts, NZ]
+        p_idx = jnp.arange(n_pts)[:, None]
+        b_z = bounds_f[p_idx, zoom].reshape(n_pts * NZ, 2, -1)
+        f_z = fbar_f[p_idx, zoom].reshape(n_pts * NZ, 2, -1)
+        clr_z = hist_clr(
+            t3, b_z, f_z, rc,
+            n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub,
+        ).reshape(n_pts, NZ, n_alpha)
+        return jnp.maximum(best_a, clr_z.max(axis=(1, 2)))
+
+    return jax.lax.map(one_rep, sigma)
+
+
+class _ChrHistBucket:
+    """One fixed bucket of scan points with precomputed fine-grid geometry."""
+
+    def __init__(self, ht, pos_np, result, pts, J, eval_range):
+        self.pts = pts
+        n_pts = POINT_BUCKET
+        ist = np.zeros(n_pts, dtype=np.int64)
+        ien = np.zeros(n_pts, dtype=np.int64)
+        ist[: len(pts)] = result.interval_start[pts]
+        ien[: len(pts)] = result.interval_end[pts]
+        Jf = HIST_ZOOM_DIV * (J - 1) + 1
+        f = np.linspace(0.0, 1.0, Jf)
+        cand = (ist[:, None] + f[None, :] * (ien - ist)[:, None]).astype(
+            np.int64
+        )
+        self.points = build_hist_points(
+            ht, pos_np, cand.reshape(-1), eval_range, cand_pad=Jf
+        )
+        self.n_pts = n_pts
+        self.J = J
+        self.Jf = Jf
+
+
+def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
+                       rows_used, dump_fn=None):
+    """Histogram fast-path permutation driver (see ops/histclr.py).
+
+    Statistic: per coarse interval, max CLR over a fixed hist_positions-point
+    subgrid x a dense hist_alphas lattice alpha grid, applied identically to
+    the observed data (thresholds) and every permuted replicate.  Point
+    buckets are FIXED across rounds (run boundaries are precomputed per
+    bucket); pruning skips a bucket once all its points finish.
+    """
+    rng = np.random.default_rng(cfg.seed)
+    key0 = jax.random.key(cfg.seed)
+    J = cfg.hist_positions
+
+    null_row = np.zeros(tables.table.shape[0])
+    null_row[np.asarray(data.row)] = np.asarray(data.null_logl)
+    extents = [
+        int(data.pos[cl.start_index + cl.n_snps - 1] - data.pos[cl.start_index])
+        for cl in data.chr_limits if cl.n_snps > 0
+    ]
+    ht = build_hist_tables(
+        tables.table, tables.grid_points, null_row, rows_used,
+        extent_bp=max(extents) + 1, n_alpha=cfg.hist_alphas,
+    )
+    row_cg = jnp.asarray(ht.row_map[np.asarray(data.row)].astype(np.int32))
+    gpos = data.genome_pos()
+    width_bp = cfg.scan_width_mb * 1e6
+
+    K = result.n_points
+    for i in range(K):
+        if result.null_clr[i] is None:
+            result.null_clr[i] = []
+
+    # per-chromosome bucket contexts + observed thresholds
+    threshold = np.zeros(K)
+    chr_buckets = []  # (start, n, w_pad, [buckets])
+    for c, cl in enumerate(data.chr_limits):
+        pts = np.where(result.chr_id == c)[0]
+        if len(pts) == 0:
+            continue
+        sl = slice(cl.start_index, cl.start_index + cl.n_snps)
+        pos_np = np.asarray(data.pos[sl])
+        n = cl.n_snps
+        w_pad = _pad_sites(n)
+        buckets = []
+        obs_sigma = jnp.arange(len(gpos), dtype=jnp.int32)[None, :]
+        for g0 in range(0, len(pts), POINT_BUCKET):
+            b = _ChrHistBucket(
+                ht, pos_np, result, pts[g0 : g0 + POINT_BUCKET], J,
+                scan_cfg.eval_range,
+            )
+            obs = _hist_perm_batch(
+                ht.t3, b.points.bounds, b.points.fbar, row_cg, obs_sigma,
+                n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
+                c_sub=64, start=cl.start_index, n=n, w_pad=w_pad,
+                n_pts=b.n_pts, J=J, Jf=b.Jf,
+            )
+            threshold[b.pts] = np.asarray(obs)[0, : len(b.pts)]
+            buckets.append(b)
+        chr_buckets.append((cl.start_index, n, w_pad, buckets))
+
+    rounds_done = 0
+    if cfg.checkpoint_path:
+        import os
+
+        from .checkpoint import load_checkpoint, save_checkpoint
+
+        if os.path.exists(cfg.checkpoint_path):
+            rounds_done, _ = load_checkpoint(cfg.checkpoint_path, result)
+            logmsg(
+                MSG_STATUS,
+                "Resumed permutation checkpoint at %d rounds", rounds_done,
+            )
+    active = ~result.permute_finished.copy()
+
+    def _progress():
+        cr_logmsg(
+            MSG_STATUS,
+            "Scanning snp block permutations... %7d (%d scan pts remaining)",
+            rounds_done,
+            int(active.sum()),
+        )
+
+    with _InterruptState(dump_fn) as intr:
+        while active.any() and rounds_done < cfg.n_permute:
+            R = min(cfg.chunk_replicates, cfg.n_permute - rounds_done)
+            sub = jax.random.fold_in(key0, rounds_done)
+            sigma = block_permutation_indices(sub, gpos, width_bp, R)
+            R_pad = -(-R // HIST_REP_SUB) * HIST_REP_SUB
+            sigma_p = (
+                jnp.concatenate(
+                    [sigma, jnp.tile(sigma[-1:], (R_pad - R, 1))], axis=0
+                )
+                if R_pad != R
+                else sigma
+            )
+
+            for start, n, w_pad, buckets in chr_buckets:
+                for b in buckets:
+                    if not active[b.pts].any():
+                        continue
+                    outs = []
+                    for r0 in range(0, R_pad, HIST_REP_SUB):
+                        outs.append(
+                            _hist_perm_batch(
+                                ht.t3, b.points.bounds, b.points.fbar,
+                                row_cg, sigma_p[r0 : r0 + HIST_REP_SUB],
+                                n_cells=ht.n_cells, n_rows=ht.n_rows,
+                                n_alpha=ht.n_alpha, c_sub=64, start=start,
+                                n=n, w_pad=w_pad, n_pts=b.n_pts, J=J, Jf=b.Jf,
+                            )
+                        )
+                    nm = np.concatenate([np.asarray(o) for o in outs], axis=0)
+                    _apply_round_updates(
+                        result, active, threshold, rng, cfg, b.pts,
+                        nm[:R, : len(b.pts)], rounds_done, R,
+                    )
+
+            rounds_done += R
+            _progress()
+            if cfg.checkpoint_path:
+                save_checkpoint(cfg.checkpoint_path, result, rounds_done, cfg.seed)
+            intr.maybe_dump()
+
+    logmsg(
+        MSG_STATUS,
+        "Scanning snp block permutations... finished (%d rounds).",
+        rounds_done,
+    )
     return result

@@ -1,0 +1,238 @@
+"""Histogram/prefix-sum CLR engine — run-length formulation of the hot loop.
+
+Motivation.  The lattice kernel (ops/lattice.py) issues one wide table gather
+per (site, candidate); on this TPU gathers cap at ~286M rows/s, and the
+permutation phase is gather-rate-bound.  But permutations shuffle only SNP
+*attributes* — positions never move (scan-chromosome.c:336-389: the block
+permutation swaps obs_freq/depth/folded/null, keeping pos fixed).  So all
+distance-derived quantities are invariant across replicates and can be
+precomputed once per candidate set:
+
+For candidate c, the table coordinate of site w at lattice alpha offset q is
+
+    t = u(c,w) + q,   u = log|pos_w - c| / step   (alpha-independent!)
+
+Sites sorted by position map to *contiguous runs* per integer cell i of u on
+each side of c.  The run boundaries B[c, side, i] (indices into the sorted
+site array) and the per-run mean-position interpolation fractions fbar are
+computed ONCE on the host (int64-exact prefix sums).  Each replicate then
+needs only
+
+  1. one cumulative sum of site-row one-hots  PS[w, r]        (VPU, cheap)
+  2. one [R]-wide row gather per (candidate, cell)  PS[B]     (~8x fewer
+     gathers than per-site when windows exceed ~2 cells/site)
+  3. ONE dense matmul  [C, 2*NC*R] @ [2*NC*R, A]              (MXU)
+
+which evaluates a *dense* grid of A alpha values at once — no multi-stage
+alpha zoom.  The run-mean fraction makes the result near-exact: lerp is
+linear, so sum-over-run of lerp(f_w) == count * lerp(mean f), and mean f from
+the run's mean position differs from the true mean of log-distances only at
+second order in the 1.2% cell width (error ~1e-2 CLR units; boundary-cell
+assignment differences are harmless because lerp is continuous across cells).
+
+Applicability gate: the per-replicate state is [W, R] for R distinct table
+rows, so this path is used when R <= ~128 (single / few sample depths — the
+common case) and W <= ~1M sites per chromosome; otherwise the lattice kernel
+remains the fallback.
+
+Reference semantics mirrored: window clamping (scan-chromosome.c:73-89),
+distance clamp to >= 1 bp (sm-search.c:40-46 logt(0) := 0 convention),
+active-site cutoff at x <= LOG_AD_MAX (sm-search.c:116-141), CLR =
+2*(sm_logl - null_logl) over active sites (sm-search.c:269-300).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import LOG_AD_MAX, LOG_AD_MIN
+from .windows import candidate_windows
+
+DEFAULT_N_ALPHA = 128
+ROWS_MAX = 128  # gate: fall back to the lattice kernel above this
+SITES_MAX = 4_000_000  # [W, R] state cap
+
+
+def hist_supported(n_rows_used, n_sites):
+    return n_rows_used <= ROWS_MAX and n_sites <= SITES_MAX
+
+
+def dense_alpha_offsets(grid_points, n_alpha=DEFAULT_N_ALPHA):
+    """Integer lattice offsets covering [LOG_AD_MIN, LOG_AD_MAX] densely."""
+    return np.round(np.linspace(0, grid_points - 1, n_alpha)).astype(np.int32)
+
+
+@dataclasses.dataclass
+class HistTables:
+    """Row-compacted table pack for one chromosome extent."""
+
+    t3: jax.Array  # [2*NC*R, A] f32: (w0/w1, cell, row) -> alpha row
+    rows_used: np.ndarray  # [R_used] original row ids (sorted)
+    row_map: np.ndarray  # [n_rows_total] -> compact id (R_used for absent)
+    n_cells: int  # NC
+    n_rows: int  # R (padded compact row count)
+    n_alpha: int
+    grid_points: int
+    offsets: np.ndarray  # [A] absolute lattice offsets
+    lalpha: np.ndarray  # [A] f32 log-alpha values
+
+
+def build_hist_tables(
+    table_np, grid_points, null_row, rows_used, extent_bp,
+    n_alpha=DEFAULT_N_ALPHA, row_pad=8,
+):
+    """Pack (table - null) rows for the histogram contraction.
+
+    table_np: [n_rows_total, G]; null_row: [n_rows_total] per-row null logl
+    (the null model depends only on (depth, folded, freq) = the row, see
+    models/tables.py null_logl / scan-chromosome.c:23-37).
+    """
+    G = grid_points
+    step = (LOG_AD_MAX - LOG_AD_MIN) / (G - 1)
+    inv_step = 1.0 / step
+    NC = min(G, int(np.log(max(float(extent_bp), 2.0)) * inv_step) + 2)
+    q = dense_alpha_offsets(G, n_alpha)
+    A = len(q)
+    rows_used = np.asarray(rows_used, dtype=np.int64)
+    Ru = len(rows_used)
+    R = -(-Ru // row_pad) * row_pad
+    row_map = np.full(table_np.shape[0], R, dtype=np.int32)
+    row_map[rows_used] = np.arange(Ru, dtype=np.int32)
+
+    sub = table_np[rows_used].astype(np.float64)  # [Ru, G]
+    nr = np.asarray(null_row, dtype=np.float64)[rows_used]  # [Ru]
+    i = np.arange(NC)[:, None]  # [NC, 1]
+    idx0 = i + q[None, :]  # [NC, A]
+    active = idx0 <= G - 1
+    idx0c = np.clip(idx0, 0, G - 1)
+    idx1c = np.clip(idx0 + 1, 0, G - 1)
+    # [NC, Ru, A]
+    t0 = (sub[:, idx0c].transpose(1, 0, 2) - nr[None, :, None]) * active[:, None, :]
+    t1 = (sub[:, idx1c].transpose(1, 0, 2) - nr[None, :, None]) * active[:, None, :]
+    pack = np.zeros((2, NC, R, A), dtype=np.float32)
+    pack[0, :, :Ru, :] = t0
+    pack[1, :, :Ru, :] = t1
+    lalpha = (LOG_AD_MIN + q.astype(np.float64) * step).astype(np.float32)
+    return HistTables(
+        t3=jnp.asarray(pack.reshape(2 * NC * R, A)),
+        rows_used=rows_used,
+        row_map=row_map,
+        n_cells=NC,
+        n_rows=R,
+        n_alpha=A,
+        grid_points=G,
+        offsets=q,
+        lalpha=lalpha,
+    )
+
+
+@dataclasses.dataclass
+class HistPoints:
+    """Precomputed run geometry for one fixed candidate set."""
+
+    bounds: jax.Array  # [C, 2, NC+1] i32 prefix indices into the site array
+    fbar: jax.Array  # [C, 2, NC] f32 per-run interpolation fraction
+    n_cand: int  # C (padded)
+    n_real: int  # real candidate count
+
+
+def build_hist_points(ht: HistTables, pos_np, cand_pos, eval_range,
+                      cand_pad=64):
+    """Host precompute: run boundaries + mean-position fractions.
+
+    pos_np: sorted int positions of the chromosome's sites; cand_pos: flat
+    candidate positions.  All host numpy (int64-exact) — this runs once per
+    candidate set and is reused by every permutation replicate.
+    """
+    pos = np.asarray(pos_np, dtype=np.int64)
+    cand = np.asarray(cand_pos, dtype=np.int64)
+    Creal = len(cand)
+    C = -(-max(Creal, 1) // cand_pad) * cand_pad
+    NC = ht.n_cells
+    step = (LOG_AD_MAX - LOG_AD_MIN) / (ht.grid_points - 1)
+    inv_step = 1.0 / step
+
+    _, lo, hi = candidate_windows(pos, cand, eval_range)
+    D = np.exp(np.arange(1, NC + 1, dtype=np.float64) * step)  # [NC]
+    sp = np.searchsorted(pos, cand, side="left")
+    sp = np.clip(sp, lo, hi + 1)
+
+    # left side: cell i of c-pos spans site range [BL[i+1], BL[i])
+    BL = np.searchsorted(pos, cand[:, None] - D[None, :], side="right")
+    BL = np.clip(BL, lo[:, None], sp[:, None])  # [Creal, NC]
+    # right side: cell i of pos-c spans [BR[i], BR[i+1])
+    BR = np.searchsorted(pos, cand[:, None] + D[None, :], side="left")
+    BR = np.clip(BR, sp[:, None], hi[:, None] + 1)
+
+    bounds = np.zeros((C, 2, NC + 1), dtype=np.int64)
+    bounds[:Creal, 0, 0] = sp
+    bounds[:Creal, 0, 1:] = BL
+    bounds[:Creal, 1, 0] = sp
+    bounds[:Creal, 1, 1:] = BR
+
+    # exact mean position per run from int64 prefix sums
+    pspos = np.zeros(len(pos) + 1, dtype=np.int64)
+    np.cumsum(pos, out=pspos[1:])
+    s = pspos[bounds[:, :, 1:]] - pspos[bounds[:, :, :-1]]  # [C, 2, NC]
+    h = bounds[:, :, 1:] - bounds[:, :, :-1]
+    sign = np.array([-1, 1], dtype=np.int64)[None, :, None]
+    s = s * sign
+    h = h * sign
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pbar = s.astype(np.float64) / np.maximum(h, 1)
+    cand_p = np.pad(cand, (0, C - Creal))
+    dbar = np.abs(pbar - cand_p[:, None, None])
+    logd = np.log(np.maximum(dbar, 1.0))
+    icell = np.arange(NC, dtype=np.float64)[None, None, :]
+    fbar = np.clip(logd * inv_step - icell, 0.0, 1.0)
+    fbar = np.where(h > 0, fbar, 0.5).astype(np.float32)
+    return HistPoints(
+        bounds=jnp.asarray(bounds.astype(np.int32)),
+        fbar=jnp.asarray(fbar),
+        n_cand=C,
+        n_real=Creal,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub"),
+)
+def hist_clr(t3, bounds, fbar, row_compact,
+             *, n_cells, n_rows, n_alpha, c_sub=64):
+    """CLR[c, a] for every (candidate, dense lattice alpha).
+
+    row_compact: [Wpad] i32 compact row ids (>= n_rows for padding — such
+    sites vanish from the one-hot).  bounds/fbar from build_hist_points.
+    Returns [C, A] f32.
+    """
+    NC, R, A = n_cells, n_rows, n_alpha
+    W = row_compact.shape[0]
+    oh = (row_compact[:, None] == jnp.arange(R, dtype=jnp.int32)[None, :])
+    ps = jnp.concatenate(
+        [jnp.zeros((1, R), jnp.float32),
+         jnp.cumsum(oh.astype(jnp.float32), axis=0)], axis=0
+    )  # [W+1, R]
+
+    C = bounds.shape[0]
+    n_chunks = C // c_sub
+    b_c = bounds.reshape(n_chunks, c_sub, 2, NC + 1)
+    f_c = fbar.reshape(n_chunks, c_sub, 2, NC)
+    sign = jnp.array([-1.0, 1.0], jnp.float32)[None, :, None, None]
+
+    def one_chunk(carry, args):
+        bc, fc = args
+        psb = ps[bc]  # [c_sub, 2, NC+1, R]
+        h = (psb[:, :, 1:, :] - psb[:, :, :-1, :]) * sign
+        w0 = jnp.sum(h * (1.0 - fc[..., None]), axis=1)  # [c_sub, NC, R]
+        w1 = jnp.sum(h * fc[..., None], axis=1)
+        k = jnp.concatenate([w0, w1], axis=1).reshape(c_sub, 2 * NC * R)
+        return carry, 2.0 * (k @ t3)
+
+    _, out = jax.lax.scan(one_chunk, None, (b_c, f_c))
+    return out.reshape(C, A)

@@ -1,0 +1,95 @@
+"""Hist-path vs lattice-path permutation engines: statistical agreement."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from fscl_tpu.engine import PermuteConfig, ScanConfig, scan_genome, scan_permute
+from fscl_tpu.io import load_snp_input
+from fscl_tpu.models import background_fsp, build_tables
+from fscl_tpu.sim import simulate_dataset, write_snp_file
+
+
+@pytest.fixture(scope="module")
+def scanned(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ph")
+    sim = simulate_dataset(
+        seed=21, sample_size=30, snp_density=1.0, mb_length=4.0,
+        alpha=3e-5, n_sweeps=1,
+    )
+    path = d / "s.sf"
+    write_snp_file(path, sim["pos"], sim["freq"], sim["n"])
+    data = load_snp_input(path)
+    fsp = background_fsp(
+        data.obs_freq, data.depth_p, data.folded, data.sample_depths
+    )
+    tables = build_tables(fsp, data.sample_depths, grid_points=256)
+    data.attach_model(tables)
+    cfg = ScanConfig(
+        eval_range=1200, small_grid_sp=20_000, large_grid_sp=400_000,
+        refine=False,
+    )
+    result = scan_genome(data, tables, cfg)
+    return data, tables, cfg, result
+
+
+def _run(scanned, use_hist, n_permute=48):
+    data, tables, scan_cfg, result0 = scanned
+    result = copy.deepcopy(result0)
+    result.permute_n[:] = 0
+    result.permute_p[:] = 0
+    result.permute_finished[:] = False
+    result.null_clr = [None] * result.n_points
+    cfg = PermuteConfig(
+        n_permute=n_permute, seed=99, chunk_replicates=16,
+        use_hist=use_hist, scan_width_mb=1.0,
+    )
+    scan_permute(data, tables, result, scan_cfg, cfg)
+    return result
+
+
+def test_hist_and_lattice_paths_agree(scanned):
+    r_hist = _run(scanned, True)
+    r_lat = _run(scanned, False)
+    # same permutation stream, slightly different statistics: exceedance
+    # *fractions* must agree closely at every point
+    f_hist = r_hist.permute_p / np.maximum(r_hist.permute_n, 1)
+    f_lat = r_lat.permute_p / np.maximum(r_lat.permute_n, 1)
+    assert np.abs(f_hist - f_lat).mean() < 0.12
+    # the sweep interval stays the most significant on both paths
+    best = np.argmax(r_hist.clr)
+    assert r_hist.permute_p[best] <= 3 and r_lat.permute_p[best] <= 3
+    # null reservoirs sample close distributions (quantile agreement)
+    pool_h = np.concatenate(
+        [r_hist.null_clr[i] for i in range(r_hist.n_points)]
+    )
+    pool_l = np.concatenate([r_lat.null_clr[i] for i in range(r_lat.n_points)])
+    qs = np.linspace(0.1, 0.9, 9)
+    qh = np.quantile(pool_h, qs)
+    ql = np.quantile(pool_l, qs)
+    assert np.abs(qh - ql).max() < 0.15 * (np.abs(ql).max() + 1.0)
+
+
+def test_hist_path_deterministic(scanned):
+    r1 = _run(scanned, True, n_permute=32)
+    r2 = _run(scanned, True, n_permute=32)
+    np.testing.assert_array_equal(r1.permute_p, r2.permute_p)
+    np.testing.assert_array_equal(r1.permute_n, r2.permute_n)
+    np.testing.assert_array_equal(r1.permute_finished, r2.permute_finished)
+
+
+def test_hist_gate_falls_back(scanned, monkeypatch):
+    import fscl_tpu.engine.permute as pm
+
+    calls = {"hist": 0}
+    orig = pm._scan_permute_hist
+
+    def spy(*a, **k):
+        calls["hist"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pm, "_scan_permute_hist", spy)
+    monkeypatch.setattr(pm, "hist_supported", lambda r, n: False)
+    _run(scanned, True, n_permute=8)
+    assert calls["hist"] == 0
