@@ -606,6 +606,23 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             )
     active = ~result.permute_finished.copy()
 
+    # replicate sharding over the device mesh: the hist path has per-replicate
+    # state and no cross-replicate communication, so replicates spread over
+    # every device (ICI within a slice, DCN across hosts) with no collectives
+    ndev = jax.device_count()
+    mesh = None
+    rep_step = HIST_REP_SUB
+    if ndev > 1:
+        from ..parallel import make_scan_mesh
+        from ..parallel.shard import sharded_hist_permute
+
+        mesh = make_scan_mesh()
+        rep_step = HIST_REP_SUB * ndev
+        logmsg(
+            MSG_STATUS,
+            "Permutation replicates sharded over %d devices", ndev,
+        )
+
     def _progress():
         cr_logmsg(
             MSG_STATUS,
@@ -619,7 +636,11 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             R = min(cfg.chunk_replicates, cfg.n_permute - rounds_done)
             sub = jax.random.fold_in(key0, rounds_done)
             sigma = block_permutation_indices(sub, gpos, width_bp, R)
-            R_pad = -(-R // HIST_REP_SUB) * HIST_REP_SUB
+            # shard only when the replicate padding stays reasonable (small
+            # final chunks run unsharded rather than pad 8x)
+            shard_now = mesh is not None and -(-R // rep_step) * rep_step <= 2 * R
+            step_now = rep_step if shard_now else HIST_REP_SUB
+            R_pad = -(-R // step_now) * step_now
             sigma_p = (
                 jnp.concatenate(
                     [sigma, jnp.tile(sigma[-1:], (R_pad - R, 1))], axis=0
@@ -632,16 +653,23 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 for b in buckets:
                     if not active[b.pts].any():
                         continue
+
+                    def stat_fn(sig, b=b, start=start, n=n, w_pad=w_pad):
+                        return _hist_perm_batch(
+                            ht.t3, b.points.bounds, b.points.fbar,
+                            row_cg, sig,
+                            n_cells=ht.n_cells, n_rows=ht.n_rows,
+                            n_alpha=ht.n_alpha, c_sub=64, start=start,
+                            n=n, w_pad=w_pad, n_pts=b.n_pts, J=J, Jf=b.Jf,
+                        )
+
                     outs = []
-                    for r0 in range(0, R_pad, HIST_REP_SUB):
+                    for r0 in range(0, R_pad, step_now):
+                        sl = sigma_p[r0 : r0 + step_now]
                         outs.append(
-                            _hist_perm_batch(
-                                ht.t3, b.points.bounds, b.points.fbar,
-                                row_cg, sigma_p[r0 : r0 + HIST_REP_SUB],
-                                n_cells=ht.n_cells, n_rows=ht.n_rows,
-                                n_alpha=ht.n_alpha, c_sub=64, start=start,
-                                n=n, w_pad=w_pad, n_pts=b.n_pts, J=J, Jf=b.Jf,
-                            )
+                            sharded_hist_permute(mesh, stat_fn, sl)
+                            if shard_now
+                            else stat_fn(sl)
                         )
                     nm = np.concatenate([np.asarray(o) for o in outs], axis=0)
                     _apply_round_updates(

@@ -82,3 +82,26 @@ def sharded_permute_chunk(
         out_specs=(P("perm", "site"), P("site")),
     )
     return f(sigma, cand, lo, hi, thresholds)
+
+
+def sharded_hist_permute(
+    mesh, stat_fn, sigma, *, rep_axes=("perm", "site"),
+):
+    """Histogram-path permutation chunk: replicates sharded over the mesh.
+
+    The histogram engine's per-replicate state ([W, R] prefix sums) makes the
+    replicate axis the natural (and only) sharded axis — run geometry,
+    tables, and genome attributes are replicated, so there are NO collectives
+    at all; each device computes its replicate slice of the [R, n_pts]
+    statistic matrix and the host concatenates (the exceedance merge happens
+    in the host pruning loop, mirroring psum over "perm").
+
+    stat_fn: sigma_local [R_local, N] -> [R_local, n_pts] (a closure over
+    the replicated device arrays, e.g. engine.permute._hist_perm_batch).
+    sigma [R, N] with R divisible by the product of ``rep_axes`` sizes.
+    """
+    spec = P(rep_axes)
+    f = jax.shard_map(
+        stat_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+    )
+    return f(sigma)

@@ -79,6 +79,38 @@ def test_hist_path_deterministic(scanned):
     np.testing.assert_array_equal(r1.permute_finished, r2.permute_finished)
 
 
+def test_hist_sharded_matches_unsharded(scanned, monkeypatch):
+    """Replicate sharding over the 8-device CPU mesh changes nothing."""
+    import fscl_tpu.engine.permute as pm
+
+    data, tables, scan_cfg, result0 = scanned
+
+    def run(force_single):
+        if force_single:
+            monkeypatch.setattr(pm.jax, "device_count", lambda: 1)
+        else:
+            monkeypatch.undo()
+        r = copy.deepcopy(result0)
+        r.permute_n[:] = 0
+        r.permute_p[:] = 0
+        r.permute_finished[:] = False
+        r.null_clr = [None] * r.n_points
+        cfg = PermuteConfig(
+            n_permute=128, seed=31, chunk_replicates=128, use_hist=True,
+        )
+        scan_permute(data, tables, r, scan_cfg, cfg)
+        return r
+
+    r_shard = run(False)  # 8 virtual devices: rep sharding engages
+    r_single = run(True)
+    np.testing.assert_array_equal(r_shard.permute_p, r_single.permute_p)
+    np.testing.assert_array_equal(r_shard.permute_n, r_single.permute_n)
+    for i in range(r_shard.n_points):
+        np.testing.assert_allclose(
+            r_shard.null_clr[i], r_single.null_clr[i], rtol=1e-5, atol=1e-4
+        )
+
+
 def test_hist_gate_falls_back(scanned, monkeypatch):
     import fscl_tpu.engine.permute as pm
 
