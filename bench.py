@@ -82,7 +82,7 @@ def ensure_data():
 
 
 def run_ours():
-    import jax
+    import copy
 
     from fscl_tpu.engine import PermuteConfig, ScanConfig, scan_genome, scan_permute
     from fscl_tpu.io import load_snp_input
@@ -98,12 +98,27 @@ def run_ours():
     data.attach_model(tables)
     scan_cfg = ScanConfig(small_grid_sp=FINE, large_grid_sp=COARSE)
 
+    # warmup pass: pays one-time jit compiles (minutes through the remote
+    # TPU tunnel, highly load-variable) so the timed pass measures the
+    # engine, not the tunnel's compile service.  The C baseline is likewise
+    # timed without its gcc compile.
+    t0 = time.monotonic()
+    scan_genome(data, tables, scan_cfg)
+    t_scan_cold = time.monotonic() - t0
+
     t0 = time.monotonic()
     result = scan_genome(data, tables, scan_cfg)
-    jax.block_until_ready(jax.numpy.zeros(()))
     t_scan = time.monotonic() - t0
 
-    perm_cfg = PermuteConfig(n_permute=N_PERMUTE, chunk_replicates=25, seed=1)
+    perm_cfg = PermuteConfig(n_permute=N_PERMUTE, chunk_replicates=32, seed=1)
+    warm = copy.deepcopy(result)
+    t0 = time.monotonic()
+    scan_permute(
+        data, tables, warm, scan_cfg,
+        PermuteConfig(n_permute=32, chunk_replicates=32, seed=1),
+    )
+    t_perm_cold = time.monotonic() - t0
+
     t0 = time.monotonic()
     scan_permute(data, tables, result, scan_cfg, perm_cfg)
     t_perm = time.monotonic() - t0
@@ -111,7 +126,9 @@ def run_ours():
     point_rounds = int(result.permute_n.sum())
     return dict(
         t_scan=t_scan,
+        t_scan_cold=t_scan_cold,
         t_perm=t_perm,
+        t_perm_cold=t_perm_cold,
         point_rounds=point_rounds,
         point_rounds_per_sec=point_rounds / t_perm,
         n_points=result.n_points,
@@ -141,7 +158,8 @@ def main():
         )
     )
     print(
-        f"# detail: scan {ours['t_scan']:.1f}s, perm {ours['t_perm']:.1f}s, "
+        f"# detail: scan {ours['t_scan']:.1f}s (cold {ours['t_scan_cold']:.1f}s), "
+        f"perm {ours['t_perm']:.1f}s (warmup {ours['t_perm_cold']:.1f}s), "
         f"{ours['point_rounds']} point-rounds over {ours['n_points']} points, "
         f"max CLR {ours['max_clr']:.1f}",
         file=sys.stderr,

@@ -41,6 +41,7 @@ from ..ops.histclr import (
     build_hist_tables,
     hist_clr,
     hist_supported,
+    make_hist_device_arrays,
 )
 from ..ops.lattice import LatticeTables, _two_stage_impl
 from ..ops.permute import block_permutation_indices
@@ -511,7 +512,8 @@ def _hist_perm_batch(t3, bounds, fbar, row_cg, sigma,
 class _ChrHistBucket:
     """One fixed bucket of scan points with precomputed fine-grid geometry."""
 
-    def __init__(self, ht, pos_np, result, pts, J, eval_range):
+    def __init__(self, ht, pos_np, result, pts, J, eval_range,
+                 device_arrays=None):
         self.pts = pts
         n_pts = POINT_BUCKET
         ist = np.zeros(n_pts, dtype=np.int64)
@@ -524,7 +526,8 @@ class _ChrHistBucket:
             np.int64
         )
         self.points = build_hist_points(
-            ht, pos_np, cand.reshape(-1), eval_range, cand_pad=Jf
+            ht, pos_np, cand.reshape(-1), eval_range, cand_pad=Jf,
+            device_arrays=device_arrays,
         )
         self.n_pts = n_pts
         self.J = J
@@ -577,10 +580,11 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         w_pad = _pad_sites(n)
         buckets = []
         obs_sigma = jnp.arange(len(gpos), dtype=jnp.int32)[None, :]
+        dev_arrays = make_hist_device_arrays(ht, pos_np)
         for g0 in range(0, len(pts), POINT_BUCKET):
             b = _ChrHistBucket(
                 ht, pos_np, result, pts[g0 : g0 + POINT_BUCKET], J,
-                scan_cfg.eval_range,
+                scan_cfg.eval_range, device_arrays=dev_arrays,
             )
             obs = _hist_perm_batch(
                 ht.t3, b.points.bounds, b.points.fbar, row_cg, obs_sigma,

@@ -104,22 +104,33 @@ def build_hist_tables(
     row_map = np.full(table_np.shape[0], R, dtype=np.int32)
     row_map[rows_used] = np.arange(Ru, dtype=np.int32)
 
-    sub = table_np[rows_used].astype(np.float64)  # [Ru, G]
-    nr = np.asarray(null_row, dtype=np.float64)[rows_used]  # [Ru]
+    # pack built ON DEVICE: the [2*NC*R, A] tensor is ~100 MB and the host
+    # link runs at ~1.5 MB/s — upload only the [Ru, G] table rows and the
+    # small [NC, A] index/mask arrays
     i = np.arange(NC)[:, None]  # [NC, 1]
     idx0 = i + q[None, :]  # [NC, A]
-    active = idx0 <= G - 1
-    idx0c = np.clip(idx0, 0, G - 1)
-    idx1c = np.clip(idx0 + 1, 0, G - 1)
-    # [NC, Ru, A]
-    t0 = (sub[:, idx0c].transpose(1, 0, 2) - nr[None, :, None]) * active[:, None, :]
-    t1 = (sub[:, idx1c].transpose(1, 0, 2) - nr[None, :, None]) * active[:, None, :]
-    pack = np.zeros((2, NC, R, A), dtype=np.float32)
-    pack[0, :, :Ru, :] = t0
-    pack[1, :, :Ru, :] = t1
+    active = (idx0 <= G - 1).astype(np.float32)
+    sub_d = jnp.asarray(table_np[rows_used].astype(np.float32))  # [Ru, G]
+    nr_d = jnp.asarray(
+        np.asarray(null_row, dtype=np.float64)[rows_used].astype(np.float32)
+    )
+    idx0_d = jnp.asarray(np.clip(idx0, 0, G - 1).astype(np.int32))
+    idx1_d = jnp.asarray(np.clip(idx0 + 1, 0, G - 1).astype(np.int32))
+    act_d = jnp.asarray(active)
+
+    @jax.jit
+    def _build_pack():
+        # [NC, Ru, A] = table[r, idx] - null[r], masked past the grid end
+        t0 = (sub_d[:, idx0_d].transpose(1, 0, 2) - nr_d[None, :, None])
+        t1 = (sub_d[:, idx1_d].transpose(1, 0, 2) - nr_d[None, :, None])
+        t0 = t0 * act_d[:, None, :]
+        t1 = t1 * act_d[:, None, :]
+        pad = ((0, 0), (0, 0), (0, R - t0.shape[1]), (0, 0))
+        return jnp.pad(jnp.stack([t0, t1]), pad).reshape(2 * NC * R, A)
+
     lalpha = (LOG_AD_MIN + q.astype(np.float64) * step).astype(np.float32)
     return HistTables(
-        t3=jnp.asarray(pack.reshape(2 * NC * R, A)),
+        t3=_build_pack(),
         rows_used=rows_used,
         row_map=row_map,
         n_cells=NC,
@@ -141,13 +152,73 @@ class HistPoints:
     n_real: int  # real candidate count
 
 
-def build_hist_points(ht: HistTables, pos_np, cand_pos, eval_range,
-                      cand_pad=64):
-    """Host precompute: run boundaries + mean-position fractions.
+# limb split for exact int32 position prefix sums on device: S = hi*2^20 + lo
+_LIMB_BITS = 20
 
-    pos_np: sorted int positions of the chromosome's sites; cand_pos: flat
-    candidate positions.  All host numpy (int64-exact) — this runs once per
-    candidate set and is reused by every permutation replicate.
+
+def build_pos_prefix(pos_np):
+    """[W+1] int32 limb pair (hi, lo) of the exact position prefix sum.
+
+    Supports sum(pos) < 2^51 (e.g. 4M sites at 500 Mb positions)."""
+    pos = np.asarray(pos_np, dtype=np.int64)
+    ps = np.zeros(len(pos) + 1, dtype=np.int64)
+    np.cumsum(pos, out=ps[1:])
+    assert ps[-1] < (1 << (31 + _LIMB_BITS)), "position prefix overflows limbs"
+    return (
+        jnp.asarray((ps >> _LIMB_BITS).astype(np.int32)),
+        jnp.asarray((ps & ((1 << _LIMB_BITS) - 1)).astype(np.int32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells",))
+def _device_points(pos_i32, ps_hi, ps_lo, d_ceil, cand, lo, hi, sp,
+                   *, n_cells):
+    """Run boundaries + run-mean fractions, computed on device.
+
+    All inputs are small uploads (the [W]-sized arrays are chromosome-
+    resident anyway); the big [C, 2, NC+1] outputs never cross the host
+    link.  Integer thresholds make the boundary search exact for integer
+    positions:  pos > c - D_i  <=>  pos >= c - ceil(D_i) + 1  and
+    pos >= c + D_i  <=>  pos >= c + ceil(D_i)  (both for integer and
+    non-integer D_i).
+    """
+    NC = n_cells
+    qL = cand[:, None] - d_ceil[None, :] + 1  # [C, NC]
+    qR = cand[:, None] + d_ceil[None, :]
+    BL = jnp.searchsorted(pos_i32, qL, side="left", method="sort")
+    BR = jnp.searchsorted(pos_i32, qR, side="left", method="sort")
+    BL = jnp.clip(BL, lo[:, None], sp[:, None]).astype(jnp.int32)
+    BR = jnp.clip(BR, sp[:, None], hi[:, None] + 1).astype(jnp.int32)
+    bounds = jnp.concatenate(
+        [
+            jnp.concatenate([sp[:, None], BL], axis=1)[:, None, :],
+            jnp.concatenate([sp[:, None], BR], axis=1)[:, None, :],
+        ],
+        axis=1,
+    )  # [C, 2, NC+1]
+
+    dh = ps_hi[bounds[:, :, 1:]] - ps_hi[bounds[:, :, :-1]]  # [C, 2, NC] i32
+    dl = ps_lo[bounds[:, :, 1:]] - ps_lo[bounds[:, :, :-1]]
+    h = bounds[:, :, 1:] - bounds[:, :, :-1]
+    sign = jnp.array([-1, 1], jnp.int32)[None, :, None]
+    s = (dh.astype(jnp.float32) * float(1 << _LIMB_BITS)
+         + dl.astype(jnp.float32)) * sign.astype(jnp.float32)
+    h = h * sign
+    pbar = s / jnp.maximum(h, 1).astype(jnp.float32)
+    dbar = jnp.abs(pbar - cand[:, None, None].astype(jnp.float32))
+    return bounds, h, dbar
+
+
+def build_hist_points(ht: HistTables, pos_np, cand_pos, eval_range,
+                      cand_pad=64, device_arrays=None):
+    """Run boundaries + mean-position fractions for a fixed candidate set.
+
+    Host does only the O(C) window geometry (exact int64); the O(C * NC)
+    boundary search and fraction math run on device (the host link is slow,
+    ~1.5 MB/s — the [C, 2, NC] outputs stay device-resident).
+
+    device_arrays: optional (pos_pad, ps_hi, ps_lo, d_floor) reused across
+    buckets of the same chromosome (see make_hist_device_arrays).
     """
     pos = np.asarray(pos_np, dtype=np.int64)
     cand = np.asarray(cand_pos, dtype=np.int64)
@@ -158,44 +229,48 @@ def build_hist_points(ht: HistTables, pos_np, cand_pos, eval_range,
     inv_step = 1.0 / step
 
     _, lo, hi = candidate_windows(pos, cand, eval_range)
-    D = np.exp(np.arange(1, NC + 1, dtype=np.float64) * step)  # [NC]
-    sp = np.searchsorted(pos, cand, side="left")
-    sp = np.clip(sp, lo, hi + 1)
+    sp = np.clip(np.searchsorted(pos, cand, side="left"), lo, hi + 1)
 
-    # left side: cell i of c-pos spans site range [BL[i+1], BL[i])
-    BL = np.searchsorted(pos, cand[:, None] - D[None, :], side="right")
-    BL = np.clip(BL, lo[:, None], sp[:, None])  # [Creal, NC]
-    # right side: cell i of pos-c spans [BR[i], BR[i+1])
-    BR = np.searchsorted(pos, cand[:, None] + D[None, :], side="left")
-    BR = np.clip(BR, sp[:, None], hi[:, None] + 1)
-
-    bounds = np.zeros((C, 2, NC + 1), dtype=np.int64)
-    bounds[:Creal, 0, 0] = sp
-    bounds[:Creal, 0, 1:] = BL
-    bounds[:Creal, 1, 0] = sp
-    bounds[:Creal, 1, 1:] = BR
-
-    # exact mean position per run from int64 prefix sums
-    pspos = np.zeros(len(pos) + 1, dtype=np.int64)
-    np.cumsum(pos, out=pspos[1:])
-    s = pspos[bounds[:, :, 1:]] - pspos[bounds[:, :, :-1]]  # [C, 2, NC]
-    h = bounds[:, :, 1:] - bounds[:, :, :-1]
-    sign = np.array([-1, 1], dtype=np.int64)[None, :, None]
-    s = s * sign
-    h = h * sign
-    with np.errstate(divide="ignore", invalid="ignore"):
-        pbar = s.astype(np.float64) / np.maximum(h, 1)
     cand_p = np.pad(cand, (0, C - Creal))
-    dbar = np.abs(pbar - cand_p[:, None, None])
-    logd = np.log(np.maximum(dbar, 1.0))
-    icell = np.arange(NC, dtype=np.float64)[None, None, :]
-    fbar = np.clip(logd * inv_step - icell, 0.0, 1.0)
-    fbar = np.where(h > 0, fbar, 0.5).astype(np.float32)
-    return HistPoints(
-        bounds=jnp.asarray(bounds.astype(np.int32)),
-        fbar=jnp.asarray(fbar),
-        n_cand=C,
-        n_real=Creal,
+    lo_p = np.pad(lo, (0, C - Creal), constant_values=1)
+    hi_p = np.pad(hi, (0, C - Creal), constant_values=0)
+    sp_p = np.pad(sp, (0, C - Creal), constant_values=1)
+
+    if device_arrays is None:
+        device_arrays = make_hist_device_arrays(ht, pos)
+
+    bounds, h, dbar = _device_points(
+        *device_arrays,
+        jnp.asarray(cand_p.astype(np.int32)),
+        jnp.asarray(lo_p.astype(np.int32)),
+        jnp.asarray(hi_p.astype(np.int32)),
+        jnp.asarray(sp_p.astype(np.int32)),
+        n_cells=NC,
+    )
+    logd = jnp.log(jnp.maximum(dbar, 1.0))
+    icell = jnp.arange(NC, dtype=jnp.float32)[None, None, :]
+    fbar = jnp.clip(logd * inv_step - icell, 0.0, 1.0)
+    fbar = jnp.where(h > 0, fbar, 0.5).astype(jnp.float32)
+    return HistPoints(bounds=bounds, fbar=fbar, n_cand=C, n_real=Creal)
+
+
+def make_hist_device_arrays(ht: HistTables, pos_np):
+    """Chromosome-resident device inputs for build_hist_points."""
+    pos = np.asarray(pos_np, dtype=np.int64)
+    step = (LOG_AD_MAX - LOG_AD_MIN) / (ht.grid_points - 1)
+    d_ceil = np.ceil(
+        np.exp(np.arange(1, ht.n_cells + 1, dtype=np.float64) * step)
+    ).astype(np.int64)
+    # searchsorted operand: positions only (no pad sentinel needed — the
+    # window clips handle the edges); int32 is exact for positions < 2^31
+    ps_hi, ps_lo = build_pos_prefix(pos)
+    return (
+        jnp.asarray(pos.astype(np.int32)),
+        ps_hi,
+        ps_lo,
+        jnp.asarray(
+            np.minimum(d_ceil, np.iinfo(np.int32).max // 2).astype(np.int32)
+        ),
     )
 
 
