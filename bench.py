@@ -87,6 +87,9 @@ def run_ours():
     from fscl_tpu.engine import PermuteConfig, ScanConfig, scan_genome, scan_permute
     from fscl_tpu.io import load_snp_input
     from fscl_tpu.models import background_fsp, build_tables
+    from fscl_tpu.utils import MSG_DEBUG1, configure_logmsg
+
+    configure_logmsg(MSG_DEBUG1)  # phase timings on stderr
 
     data = load_snp_input(DATA)
     # compat mode so both engines compute the same model on unfolded data

@@ -56,6 +56,7 @@ N_ZOOM = 17  # adaptive zoom probes around the subgrid winner
 POINT_BUCKET = 64  # scan points per dispatch (one compiled shape)
 REP_SUB = 8  # replicates per dispatch (one compiled shape)
 HIST_REP_SUB = 16  # replicates per dispatch on the histogram fast path
+HIST_COMPACT = True  # rebuild point buckets as pruning empties them
 
 
 @dataclasses.dataclass
@@ -548,6 +549,9 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     key0 = jax.random.key(cfg.seed)
     J = cfg.hist_positions
 
+    import time as _time
+
+    _tt = _time.monotonic()
     null_row = np.zeros(tables.table.shape[0])
     null_row[np.asarray(data.row)] = np.asarray(data.null_logl)
     extents = [
@@ -568,6 +572,10 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             result.null_clr[i] = []
 
     # per-chromosome bucket contexts + observed thresholds
+    from ..utils import MSG_DEBUG1 as MSG_DEBUG
+
+    logmsg(MSG_DEBUG, "hist tables: %.1fs", _time.monotonic() - _tt)
+    _t0 = _time.monotonic()
     threshold = np.zeros(K)
     chr_buckets = []  # (start, n, w_pad, [buckets])
     for c, cl in enumerate(data.chr_limits):
@@ -594,7 +602,14 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             )
             threshold[b.pts] = np.asarray(obs)[0, : len(b.pts)]
             buckets.append(b)
-        chr_buckets.append((cl.start_index, n, w_pad, buckets))
+        chr_buckets.append(
+            [cl.start_index, n, w_pad, buckets, pos_np, dev_arrays]
+        )
+    logmsg(
+        MSG_DEBUG, "hist permutation setup: %.1fs (%d buckets)",
+        _time.monotonic() - _t0,
+        sum(len(b) for *_, b in chr_buckets),
+    )
 
     rounds_done = 0
     if cfg.checkpoint_path:
@@ -637,6 +652,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
     with _InterruptState(dump_fn) as intr:
         while active.any() and rounds_done < cfg.n_permute:
+            _tr = _time.monotonic()
             R = min(cfg.chunk_replicates, cfg.n_permute - rounds_done)
             sub = jax.random.fold_in(key0, rounds_done)
             sigma = block_permutation_indices(sub, gpos, width_bp, R)
@@ -653,7 +669,29 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 else sigma
             )
 
-            for start, n, w_pad, buckets in chr_buckets:
+            for chrb in chr_buckets:
+                start, n, w_pad, buckets, pos_np, dev_arrays = chrb
+                # bucket compaction: pruning strands a few active points in
+                # full-size buckets; when the active set fits in fewer
+                # buckets, rebuild (device-side geometry, ~1 dispatch)
+                act_chr = np.concatenate(
+                    [b.pts[active[b.pts]] for b in buckets]
+                ) if HIST_COMPACT and len(buckets) > 1 else None
+                if act_chr is not None and len(act_chr) > 0:
+                    need = -(-len(act_chr) // POINT_BUCKET)
+                    if need < sum(
+                        1 for b in buckets if active[b.pts].any()
+                    ):
+                        buckets = [
+                            _ChrHistBucket(
+                                ht, pos_np, result,
+                                act_chr[g0 : g0 + POINT_BUCKET], J,
+                                scan_cfg.eval_range,
+                                device_arrays=dev_arrays,
+                            )
+                            for g0 in range(0, len(act_chr), POINT_BUCKET)
+                        ]
+                        chrb[3] = buckets
                 for b in buckets:
                     if not active[b.pts].any():
                         continue
@@ -683,6 +721,10 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
             rounds_done += R
             _progress()
+            logmsg(
+                MSG_DEBUG, "hist round chunk of %d: %.1fs", R,
+                _time.monotonic() - _tr,
+            )
             if cfg.checkpoint_path:
                 save_checkpoint(cfg.checkpoint_path, result, rounds_done, cfg.seed)
             intr.maybe_dump()

@@ -22,6 +22,13 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.histclr import (
+    build_hist_points,
+    build_hist_tables,
+    hist_clr,
+    hist_supported,
+    make_hist_device_arrays,
+)
 from ..ops.lattice import LatticeTables, two_stage_lattice_max
 from ..ops.windows import candidate_windows
 from ..utils import MSG_STATUS, cr_logmsg
@@ -41,6 +48,11 @@ class ScanConfig:
     # the candidate padding at one fixed bucket (4096) for ALL calls, so each
     # chromosome size compiles exactly once.
     dispatch_cap: int = 4096 * 24576
+    # histogram fast path for the dense position stages (ops/histclr.py);
+    # winners are always re-evaluated with the exact lattice kernel, so
+    # reported CLR/alpha are unchanged up to near-tie argmax selection
+    use_hist: bool = True
+    hist_alphas: int = 128
 
 
 @dataclasses.dataclass
@@ -167,6 +179,62 @@ class _ChromosomeBlock:
         return np.asarray(clr)[:P], np.asarray(la)[:P], ns, lo, hi
 
 
+class _HistScanContext:
+    """Histogram-engine evaluation context for one chromosome's scan."""
+
+    def __init__(self, ht, data, cl, cfg):
+        sl = slice(cl.start_index, cl.start_index + cl.n_snps)
+        self.ht = ht
+        self.pos_np = np.asarray(data.pos[sl])
+        self.row_c = jnp.asarray(
+            ht.row_map[np.asarray(data.row[sl])].astype(np.int32)
+        )
+        self.dev = make_hist_device_arrays(ht, self.pos_np)
+        self.eval_range = cfg.eval_range
+
+    def eval_max(self, cand_flat):
+        """(max-CLR over the dense alpha grid, lalpha) per candidate.
+
+        Selection-grade values (run-mean interpolation, ~1e-2 CLR); final
+        winners get exact re-evaluation by the caller.
+        """
+        ht = self.ht
+        hp = build_hist_points(
+            ht, self.pos_np, cand_flat, self.eval_range,
+            cand_pad=1024, device_arrays=self.dev,
+        )
+        clr = hist_clr(
+            ht.t3, hp.bounds, hp.fbar, self.row_c,
+            n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
+            c_sub=64,
+        )[: len(cand_flat)]
+        a = jnp.argmax(clr, axis=1)
+        best = jnp.take_along_axis(clr, a[:, None], axis=1)[:, 0]
+        la = jnp.asarray(ht.lalpha)[a]
+        return np.asarray(best), np.asarray(la)
+
+
+def make_scan_hist_tables(data, tables, n_alpha=128):
+    """Genome-wide HistTables for the scan's dense stages (or None)."""
+    row = np.asarray(data.row)
+    rows_used = np.unique(row)
+    max_n = max((cl.n_snps for cl in data.chr_limits), default=0)
+    if not hist_supported(len(rows_used), max_n):
+        return None
+    null_row = np.zeros(tables.table.shape[0])
+    null_row[row] = np.asarray(data.null_logl)
+    extents = [
+        int(data.pos[cl.start_index + cl.n_snps - 1] - data.pos[cl.start_index])
+        for cl in data.chr_limits if cl.n_snps > 0
+    ]
+    if not extents:
+        return None
+    return build_hist_tables(
+        tables.table, tables.grid_points, null_row, rows_used,
+        extent_bp=max(extents) + 1, n_alpha=n_alpha,
+    )
+
+
 def refine_positions(best_pos, istart, iend, pitch):
     """+-8 steps of ``pitch`` around per-interval winners, interval-clamped."""
     offs = np.arange(-8, 9, dtype=np.int64) * pitch
@@ -195,8 +263,17 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         )
     }
 
+    hist_ht = (
+        make_scan_hist_tables(data, tables, cfg.hist_alphas)
+        if cfg.use_hist else None
+    )
+
     for c, cl in enumerate(data.chr_limits):
         blk = _ChromosomeBlock(data, cl, lattice)
+        hctx = (
+            _HistScanContext(hist_ht, data, cl, cfg)
+            if hist_ht is not None else None
+        )
         cand, valid, istart, iend = chromosome_candidates(cl, cfg)
         n_int, J = cand.shape
         cr_logmsg(
@@ -206,7 +283,14 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
             n_int,
             J,
         )
-        clr, la, *_ = blk.eval_candidates(cand.reshape(-1), cfg, G)
+
+        def eval_flat(flat):
+            if hctx is not None:
+                return hctx.eval_max(flat)
+            clr_, la_, *_ = blk.eval_candidates(flat, cfg, G)
+            return clr_, la_
+
+        clr, la = eval_flat(cand.reshape(-1))
         clr = np.where(valid.reshape(-1), clr, -np.inf).reshape(n_int, J)
         la = la.reshape(n_int, J)
         jbest = np.argmax(clr, axis=1)
@@ -225,7 +309,7 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
                 pitch = max(pitch // 8, cfg.bp_resl)
                 cand2 = refine_positions(best_pos, istart, iend, pitch)
                 n2 = cand2.shape[1]
-                clr2, la2, *_ = blk.eval_candidates(cand2.reshape(-1), cfg, G)
+                clr2, la2 = eval_flat(cand2.reshape(-1))
                 clr2 = clr2.reshape(n_int, n2)
                 la2 = la2.reshape(n_int, n2)
                 j2 = np.argmax(clr2, axis=1)
@@ -233,6 +317,11 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
                 best_pos = np.where(better, cand2[r, j2], best_pos)
                 best_la = np.where(better, la2[r, j2], best_la)
                 best_clr = np.where(better, clr2[r, j2], best_clr)
+
+        if hctx is not None:
+            # the hist stages are selection-grade; report exact CLR/alpha
+            # from the lattice kernel at the winning positions
+            best_clr, best_la, *_ = blk.eval_candidates(best_pos, cfg, G)
 
         ns, lo, hi = candidate_windows(blk.pos_np, best_pos, cfg.eval_range)
         out["chr_id"].append(np.full(n_int, c, dtype=np.int32))

@@ -118,19 +118,9 @@ def build_hist_tables(
     idx1_d = jnp.asarray(np.clip(idx0 + 1, 0, G - 1).astype(np.int32))
     act_d = jnp.asarray(active)
 
-    @jax.jit
-    def _build_pack():
-        # [NC, Ru, A] = table[r, idx] - null[r], masked past the grid end
-        t0 = (sub_d[:, idx0_d].transpose(1, 0, 2) - nr_d[None, :, None])
-        t1 = (sub_d[:, idx1_d].transpose(1, 0, 2) - nr_d[None, :, None])
-        t0 = t0 * act_d[:, None, :]
-        t1 = t1 * act_d[:, None, :]
-        pad = ((0, 0), (0, 0), (0, R - t0.shape[1]), (0, 0))
-        return jnp.pad(jnp.stack([t0, t1]), pad).reshape(2 * NC * R, A)
-
     lalpha = (LOG_AD_MIN + q.astype(np.float64) * step).astype(np.float32)
     return HistTables(
-        t3=_build_pack(),
+        t3=_device_pack(sub_d, nr_d, idx0_d, idx1_d, act_d, row_pad=R),
         rows_used=rows_used,
         row_map=row_map,
         n_cells=NC,
@@ -140,6 +130,19 @@ def build_hist_tables(
         offsets=q,
         lalpha=lalpha,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("row_pad",))
+def _device_pack(sub_d, nr_d, idx0_d, idx1_d, act_d, *, row_pad):
+    """[2*NC*row_pad, A] pack = (table[r, cell+q] - null[r]) * active."""
+    t0 = sub_d[:, idx0_d].transpose(1, 0, 2) - nr_d[None, :, None]
+    t1 = sub_d[:, idx1_d].transpose(1, 0, 2) - nr_d[None, :, None]
+    t0 = t0 * act_d[:, None, :]
+    t1 = t1 * act_d[:, None, :]
+    pad = ((0, 0), (0, 0), (0, row_pad - t0.shape[1]), (0, 0))
+    out = jnp.pad(jnp.stack([t0, t1]), pad)
+    nc, a = act_d.shape
+    return out.reshape(2 * nc * row_pad, a)
 
 
 @dataclasses.dataclass
@@ -185,8 +188,10 @@ def _device_points(pos_i32, ps_hi, ps_lo, d_ceil, cand, lo, hi, sp,
     NC = n_cells
     qL = cand[:, None] - d_ceil[None, :] + 1  # [C, NC]
     qR = cand[:, None] + d_ceil[None, :]
-    BL = jnp.searchsorted(pos_i32, qL, side="left", method="sort")
-    BR = jnp.searchsorted(pos_i32, qR, side="left", method="sort")
+    # method='scan' (vectorized binary search) — device sort is far slower
+    # than log2(W) gather steps on this backend
+    BL = jnp.searchsorted(pos_i32, qL, side="left")
+    BR = jnp.searchsorted(pos_i32, qR, side="left")
     BL = jnp.clip(BL, lo[:, None], sp[:, None]).astype(jnp.int32)
     BR = jnp.clip(BR, sp[:, None], hi[:, None] + 1).astype(jnp.int32)
     bounds = jnp.concatenate(
@@ -295,7 +300,12 @@ def hist_clr(t3, bounds, fbar, row_compact,
     )  # [W+1, R]
 
     C = bounds.shape[0]
-    n_chunks = C // c_sub
+    n_chunks = -(-C // c_sub)
+    pad = n_chunks * c_sub - C
+    if pad:
+        # zero bounds rows -> empty runs -> CLR exactly 0, sliced off below
+        bounds = jnp.pad(bounds, ((0, pad), (0, 0), (0, 0)))
+        fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
     b_c = bounds.reshape(n_chunks, c_sub, 2, NC + 1)
     f_c = fbar.reshape(n_chunks, c_sub, 2, NC)
     sign = jnp.array([-1.0, 1.0], jnp.float32)[None, :, None, None]
@@ -310,4 +320,4 @@ def hist_clr(t3, bounds, fbar, row_compact,
         return carry, 2.0 * (k @ t3)
 
     _, out = jax.lax.scan(one_chunk, None, (b_c, f_c))
-    return out.reshape(C, A)
+    return out.reshape(n_chunks * c_sub, A)[:C]

@@ -111,6 +111,36 @@ def test_hist_sharded_matches_unsharded(scanned, monkeypatch):
         )
 
 
+def test_bucket_compaction_preserves_results(scanned, monkeypatch):
+    """Compacting point buckets as pruning empties them changes nothing:
+    each point's statistic depends only on its own interval geometry."""
+    import fscl_tpu.engine.permute as pm
+
+    data, tables, scan_cfg, result0 = scanned
+
+    def run():
+        r = copy.deepcopy(result0)
+        r.permute_n[:] = 0
+        r.permute_p[:] = 0
+        r.permute_finished[:] = False
+        r.null_clr = [None] * r.n_points
+        cfg = PermuteConfig(
+            n_permute=64, seed=77, chunk_replicates=16, use_hist=True,
+        )
+        scan_permute(data, tables, r, scan_cfg, cfg)
+        return r
+
+    monkeypatch.setattr(pm, "POINT_BUCKET", 4)  # 10 points -> 3 buckets
+    monkeypatch.setattr(pm, "HIST_COMPACT", False)
+    r_plain = run()
+    monkeypatch.setattr(pm, "HIST_COMPACT", True)
+    r_comp = run()
+    np.testing.assert_array_equal(r_plain.permute_p, r_comp.permute_p)
+    np.testing.assert_array_equal(r_plain.permute_n, r_comp.permute_n)
+    # pruning actually removed points mid-run, so compaction engaged
+    assert r_plain.permute_finished.sum() > 0
+
+
 def test_hist_gate_falls_back(scanned, monkeypatch):
     import fscl_tpu.engine.permute as pm
 
