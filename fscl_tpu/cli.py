@@ -94,6 +94,9 @@ def build_parser():
     a("--seed", type=int, default=0xFD821A6,
       help="RNG seed (reference default is this hard-coded value, fscl.c:134)")
     a("--no-refine", action="store_true", help="skip bp_resl position refinement")
+    a("--no-hist", action="store_true",
+      help="disable the histogram fast path (ops/histclr.py) for scan and "
+      "permutation; use the per-site lattice kernel everywhere")
     a("--checkpoint", help="permutation checkpoint file (.npz); saved "
       "after each chunk, auto-resumed when the file exists")
     a("--compat-mirror-unfolded", action="store_true",
@@ -186,6 +189,7 @@ def _pipeline_snp_data(data: SNPData, args):
         large_grid_sp=args.coarse_grid_spacing,
         chunk=args.chunk,
         refine=not args.no_refine,
+        use_hist=not args.no_hist,
     )
     with phase("scan"):
         result = scan_genome(data, tables, scan_cfg, lattice=lattice)
@@ -199,6 +203,7 @@ def _pipeline_snp_data(data: SNPData, args):
             seed=args.seed,
             alpha_factor=args.alpha_factor,
             checkpoint_path=args.checkpoint,
+            use_hist=not args.no_hist,
         )
 
         def dump():
