@@ -306,9 +306,17 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
     if cfg.n_permute <= 0:
         return result
     if cfg.use_hist:
+        from ..ops.histclr import hist_geometry_ok
+
         rows_used = np.unique(np.asarray(data.row))
         max_n = max((cl.n_snps for cl in data.chr_limits), default=0)
-        if hist_supported(len(rows_used), max_n):
+        geom_ok = all(
+            hist_geometry_ok(
+                data.pos[cl.start_index : cl.start_index + cl.n_snps]
+            )
+            for cl in data.chr_limits if cl.n_snps > 0
+        )
+        if hist_supported(len(rows_used), max_n) and geom_ok:
             return _scan_permute_hist(
                 data, tables, result, scan_cfg, cfg, rows_used, dump_fn
             )

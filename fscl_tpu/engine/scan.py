@@ -216,10 +216,17 @@ class _HistScanContext:
 
 def make_scan_hist_tables(data, tables, n_alpha=128):
     """Genome-wide HistTables for the scan's dense stages (or None)."""
+    from ..ops.histclr import hist_geometry_ok
+
     row = np.asarray(data.row)
     rows_used = np.unique(row)
     max_n = max((cl.n_snps for cl in data.chr_limits), default=0)
     if not hist_supported(len(rows_used), max_n):
+        return None
+    if not all(
+        hist_geometry_ok(data.pos[cl.start_index : cl.start_index + cl.n_snps])
+        for cl in data.chr_limits if cl.n_snps > 0
+    ):
         return None
     null_row = np.zeros(tables.table.shape[0])
     null_row[row] = np.asarray(data.null_logl)

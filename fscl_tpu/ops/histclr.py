@@ -173,9 +173,25 @@ def build_pos_prefix(pos_np):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_cells",))
-def _device_points(pos_i32, ps_hi, ps_lo, d_ceil, cand, lo, hi, sp,
-                   *, n_cells):
+def _block_search(idx_tab, pos_win, qbits, q):
+    """Exact vectorized searchsorted(pos, q, 'left') via block index table.
+
+    idx_tab[b] = #sites with pos < (b << qbits); pos_win[j] = pos[j:j+K]
+    (K-wide contiguous slabs, so the per-query fetch is ONE wide row gather
+    instead of log2(W) scattered gathers).  Exactness needs every qbits
+    block to hold <= K sites (the host builder guarantees it).
+    """
+    qb = jnp.clip(q >> qbits, 0, idx_tab.shape[0] - 1)
+    coarse = idx_tab[qb]
+    slab = pos_win[coarse]  # [..., K]
+    return coarse + jnp.sum(
+        slab < q[..., None], axis=-1, dtype=jnp.int32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells", "qbits"))
+def _device_points(pos_i32, ps_hi, ps_lo, d_ceil, idx_tab, pos_win,
+                   cand, lo, hi, sp, *, n_cells, qbits):
     """Run boundaries + run-mean fractions, computed on device.
 
     All inputs are small uploads (the [W]-sized arrays are chromosome-
@@ -188,10 +204,8 @@ def _device_points(pos_i32, ps_hi, ps_lo, d_ceil, cand, lo, hi, sp,
     NC = n_cells
     qL = cand[:, None] - d_ceil[None, :] + 1  # [C, NC]
     qR = cand[:, None] + d_ceil[None, :]
-    # method='scan' (vectorized binary search) — device sort is far slower
-    # than log2(W) gather steps on this backend
-    BL = jnp.searchsorted(pos_i32, qL, side="left")
-    BR = jnp.searchsorted(pos_i32, qR, side="left")
+    BL = _block_search(idx_tab, pos_win, qbits, qL)
+    BR = _block_search(idx_tab, pos_win, qbits, qR)
     BL = jnp.clip(BL, lo[:, None], sp[:, None]).astype(jnp.int32)
     BR = jnp.clip(BR, sp[:, None], hi[:, None] + 1).astype(jnp.int32)
     bounds = jnp.concatenate(
@@ -245,12 +259,13 @@ def build_hist_points(ht: HistTables, pos_np, cand_pos, eval_range,
         device_arrays = make_hist_device_arrays(ht, pos)
 
     bounds, h, dbar = _device_points(
-        *device_arrays,
+        *device_arrays[:-1],
         jnp.asarray(cand_p.astype(np.int32)),
         jnp.asarray(lo_p.astype(np.int32)),
         jnp.asarray(hi_p.astype(np.int32)),
         jnp.asarray(sp_p.astype(np.int32)),
         n_cells=NC,
+        qbits=device_arrays[-1],
     )
     logd = jnp.log(jnp.maximum(dbar, 1.0))
     icell = jnp.arange(NC, dtype=jnp.float32)[None, None, :]
@@ -259,23 +274,75 @@ def build_hist_points(ht: HistTables, pos_np, cand_pos, eval_range,
     return HistPoints(bounds=bounds, fbar=fbar, n_cand=C, n_real=Creal)
 
 
+_SLAB_K = 16  # sites per contiguous slab fetched by _block_search
+_IDX_TAB_MAX = 4_000_000  # block-table size cap
+
+
+def _choose_block_table(pos):
+    """(qbits, idx_tab) with <= _SLAB_K sites per 2^qbits-bp block, or
+    (None, None) when no table within _IDX_TAB_MAX entries achieves it."""
+    pos = np.asarray(pos, dtype=np.int64)
+    max_pos = int(pos[-1]) if len(pos) else 0
+    for qbits in range(16, 0, -1):
+        n_blk = (max_pos >> qbits) + 2
+        if n_blk > _IDX_TAB_MAX:
+            return None, None
+        idx_tab = np.searchsorted(
+            pos, np.arange(n_blk, dtype=np.int64) << qbits, side="left"
+        )
+        if np.diff(idx_tab).max(initial=0) <= _SLAB_K:
+            return qbits, idx_tab
+    return None, None
+
+
+def hist_geometry_ok(pos_np) -> bool:
+    """Whether the block-search geometry supports this chromosome."""
+    q, _ = _choose_block_table(np.asarray(pos_np, dtype=np.int64))
+    return q is not None
+
+
 def make_hist_device_arrays(ht: HistTables, pos_np):
-    """Chromosome-resident device inputs for build_hist_points."""
+    """Chromosome-resident device inputs for build_hist_points.
+
+    Builds the block index table for _block_search: the largest block
+    quantum (power of two) such that no 2^qbits-bp block holds more than
+    _SLAB_K sites.  For pathologically dense data the table is capped at
+    _IDX_TAB_MAX entries (then blocks may exceed the slab and the builder
+    raises — callers gate on hist_supported first).
+    """
     pos = np.asarray(pos_np, dtype=np.int64)
     step = (LOG_AD_MAX - LOG_AD_MIN) / (ht.grid_points - 1)
     d_ceil = np.ceil(
         np.exp(np.arange(1, ht.n_cells + 1, dtype=np.float64) * step)
     ).astype(np.int64)
-    # searchsorted operand: positions only (no pad sentinel needed — the
-    # window clips handle the edges); int32 is exact for positions < 2^31
     ps_hi, ps_lo = build_pos_prefix(pos)
+
+    qbits, idx_tab = _choose_block_table(pos)
+    if qbits is None:
+        raise ValueError(
+            "site density too high for the block index table; "
+            "disable the hist path for this dataset "
+            "(check hist_geometry_ok first)"
+        )
+    # K-wide contiguous position slabs, built device-side (the host link is
+    # slow): pos_win[j] = pos[j:j+K] with int32-max tail sentinels
+    pos_d = jnp.asarray(pos.astype(np.int32))
+    pos_ext = jnp.concatenate(
+        [pos_d, jnp.full(_SLAB_K, np.iinfo(np.int32).max, jnp.int32)]
+    )
+    pos_win = jnp.stack(
+        [pos_ext[k : k + len(pos) + 1] for k in range(_SLAB_K)], axis=1
+    )
     return (
-        jnp.asarray(pos.astype(np.int32)),
+        pos_d,
         ps_hi,
         ps_lo,
         jnp.asarray(
             np.minimum(d_ceil, np.iinfo(np.int32).max // 2).astype(np.int32)
         ),
+        jnp.asarray(idx_tab.astype(np.int32)),
+        pos_win,
+        int(qbits),
     )
 
 
