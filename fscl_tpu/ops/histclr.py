@@ -189,6 +189,9 @@ def _block_search(idx_tab, pos_win, qbits, q):
     )
 
 
+_POINTS_CHUNK = 256  # candidate chunk: bounds the [chunk*NC, K] slab temp
+
+
 @functools.partial(jax.jit, static_argnames=("n_cells", "qbits"))
 def _device_points(pos_i32, ps_hi, ps_lo, d_ceil, idx_tab, pos_win,
                    cand, lo, hi, sp, *, n_cells, qbits):
@@ -199,32 +202,51 @@ def _device_points(pos_i32, ps_hi, ps_lo, d_ceil, idx_tab, pos_win,
     link.  Integer thresholds make the boundary search exact for integer
     positions:  pos > c - D_i  <=>  pos >= c - ceil(D_i) + 1  and
     pos >= c + D_i  <=>  pos >= c + ceil(D_i)  (both for integer and
-    non-integer D_i).
+    non-integer D_i).  Candidates process in _POINTS_CHUNK chunks so the
+    slab-gather temporary stays bounded (its [*, K] layout tile-pads 8x).
     """
     NC = n_cells
-    qL = cand[:, None] - d_ceil[None, :] + 1  # [C, NC]
-    qR = cand[:, None] + d_ceil[None, :]
-    BL = _block_search(idx_tab, pos_win, qbits, qL)
-    BR = _block_search(idx_tab, pos_win, qbits, qR)
-    BL = jnp.clip(BL, lo[:, None], sp[:, None]).astype(jnp.int32)
-    BR = jnp.clip(BR, sp[:, None], hi[:, None] + 1).astype(jnp.int32)
-    bounds = jnp.concatenate(
-        [
-            jnp.concatenate([sp[:, None], BL], axis=1)[:, None, :],
-            jnp.concatenate([sp[:, None], BR], axis=1)[:, None, :],
-        ],
-        axis=1,
-    )  # [C, 2, NC+1]
+    C = cand.shape[0]
+    n_chunks = -(-C // _POINTS_CHUNK)
+    pad = n_chunks * _POINTS_CHUNK - C
 
-    dh = ps_hi[bounds[:, :, 1:]] - ps_hi[bounds[:, :, :-1]]  # [C, 2, NC] i32
-    dl = ps_lo[bounds[:, :, 1:]] - ps_lo[bounds[:, :, :-1]]
-    h = bounds[:, :, 1:] - bounds[:, :, :-1]
-    sign = jnp.array([-1, 1], jnp.int32)[None, :, None]
-    s = (dh.astype(jnp.float32) * float(1 << _LIMB_BITS)
-         + dl.astype(jnp.float32)) * sign.astype(jnp.float32)
-    h = h * sign
-    pbar = s / jnp.maximum(h, 1).astype(jnp.float32)
-    dbar = jnp.abs(pbar - cand[:, None, None].astype(jnp.float32))
+    def pad1(x, fill=0):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+            n_chunks, _POINTS_CHUNK
+        )
+
+    def one_chunk(carry, args):
+        cand_c, lo_c, hi_c, sp_c = args
+        qL = cand_c[:, None] - d_ceil[None, :] + 1  # [chunk, NC]
+        qR = cand_c[:, None] + d_ceil[None, :]
+        BL = _block_search(idx_tab, pos_win, qbits, qL)
+        BR = _block_search(idx_tab, pos_win, qbits, qR)
+        BL = jnp.clip(BL, lo_c[:, None], sp_c[:, None]).astype(jnp.int32)
+        BR = jnp.clip(BR, sp_c[:, None], hi_c[:, None] + 1).astype(jnp.int32)
+        bounds = jnp.concatenate(
+            [
+                jnp.concatenate([sp_c[:, None], BL], axis=1)[:, None, :],
+                jnp.concatenate([sp_c[:, None], BR], axis=1)[:, None, :],
+            ],
+            axis=1,
+        )  # [chunk, 2, NC+1]
+        dh = ps_hi[bounds[:, :, 1:]] - ps_hi[bounds[:, :, :-1]]
+        dl = ps_lo[bounds[:, :, 1:]] - ps_lo[bounds[:, :, :-1]]
+        h = bounds[:, :, 1:] - bounds[:, :, :-1]
+        sign = jnp.array([-1, 1], jnp.int32)[None, :, None]
+        s = (dh.astype(jnp.float32) * float(1 << _LIMB_BITS)
+             + dl.astype(jnp.float32)) * sign.astype(jnp.float32)
+        h = h * sign
+        pbar = s / jnp.maximum(h, 1).astype(jnp.float32)
+        dbar = jnp.abs(pbar - cand_c[:, None, None].astype(jnp.float32))
+        return carry, (bounds, h, dbar)
+
+    _, (bounds, h, dbar) = jax.lax.scan(
+        one_chunk, None, (pad1(cand), pad1(lo, 1), pad1(hi), pad1(sp, 1))
+    )
+    bounds = bounds.reshape(n_chunks * _POINTS_CHUNK, 2, NC + 1)[:C]
+    h = h.reshape(n_chunks * _POINTS_CHUNK, 2, NC)[:C]
+    dbar = dbar.reshape(n_chunks * _POINTS_CHUNK, 2, NC)[:C]
     return bounds, h, dbar
 
 
