@@ -616,7 +616,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     logmsg(
         MSG_DEBUG, "hist permutation setup: %.1fs (%d buckets)",
         _time.monotonic() - _t0,
-        sum(len(b) for *_, b in chr_buckets),
+        sum(len(e[3]) for e in chr_buckets),
     )
 
     rounds_done = 0
