@@ -662,20 +662,17 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         while active.any() and rounds_done < cfg.n_permute:
             _tr = _time.monotonic()
             R = min(cfg.chunk_replicates, cfg.n_permute - rounds_done)
-            sub = jax.random.fold_in(key0, rounds_done)
-            sigma = block_permutation_indices(sub, gpos, width_bp, R)
             # shard only when the replicate padding stays reasonable (small
             # final chunks run unsharded rather than pad 8x)
             shard_now = mesh is not None and -(-R // rep_step) * rep_step <= 2 * R
             step_now = rep_step if shard_now else HIST_REP_SUB
             R_pad = -(-R // step_now) * step_now
-            sigma_p = (
-                jnp.concatenate(
-                    [sigma, jnp.tile(sigma[-1:], (R_pad - R, 1))], axis=0
-                )
-                if R_pad != R
-                else sigma
-            )
+            sub = jax.random.fold_in(key0, rounds_done)
+            # generate the PADDED replicate count directly: every chunk then
+            # shares one compiled sigma shape (a short final chunk would
+            # otherwise compile a fresh [R, N] program); rows beyond R are
+            # computed but not counted
+            sigma_p = block_permutation_indices(sub, gpos, width_bp, R_pad)
 
             for chrb in chr_buckets:
                 start, n, w_pad, buckets, pos_np, dev_arrays = chrb
