@@ -76,6 +76,10 @@ class PermuteConfig:
     use_hist: bool = True
     hist_positions: int = N_PERM_POS  # per-interval position subgrid
     hist_alphas: int = 128  # dense lattice alpha grid (pitch ~0.19 log-units)
+    hist_decimate: int = 4  # lattice decimation for the null statistic:
+    # gather volume and matmul width shrink this factor; the run-mean
+    # interpolation error grows to ~0.2 CLR units (identical functional for
+    # observed thresholds and null replicates, so the test stays valid)
 
 
 def _stat_max(
@@ -569,6 +573,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     ht = build_hist_tables(
         tables.table, tables.grid_points, null_row, rows_used,
         extent_bp=max(extents) + 1, n_alpha=cfg.hist_alphas,
+        decimate=cfg.hist_decimate,
     )
     row_cg = jnp.asarray(ht.row_map[np.asarray(data.row)].astype(np.int32))
     gpos = data.genome_pos()

@@ -53,6 +53,8 @@ class ScanConfig:
     # reported CLR/alpha are unchanged up to near-tie argmax selection
     use_hist: bool = True
     hist_alphas: int = 128
+    hist_decimate: int = 4  # lattice decimation for the selection stages
+    # (ops/histclr.py build_hist_tables); winners are re-evaluated exactly
 
 
 @dataclasses.dataclass
@@ -214,7 +216,7 @@ class _HistScanContext:
         return np.asarray(best), np.asarray(la)
 
 
-def make_scan_hist_tables(data, tables, n_alpha=128):
+def make_scan_hist_tables(data, tables, n_alpha=128, decimate=1):
     """Genome-wide HistTables for the scan's dense stages (or None)."""
     from ..ops.histclr import hist_geometry_ok
 
@@ -238,7 +240,7 @@ def make_scan_hist_tables(data, tables, n_alpha=128):
         return None
     return build_hist_tables(
         tables.table, tables.grid_points, null_row, rows_used,
-        extent_bp=max(extents) + 1, n_alpha=n_alpha,
+        extent_bp=max(extents) + 1, n_alpha=n_alpha, decimate=decimate,
     )
 
 
@@ -271,7 +273,9 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
     }
 
     hist_ht = (
-        make_scan_hist_tables(data, tables, cfg.hist_alphas)
+        make_scan_hist_tables(
+            data, tables, cfg.hist_alphas, decimate=cfg.hist_decimate
+        )
         if cfg.use_hist else None
     )
 

@@ -77,23 +77,41 @@ class HistTables:
     n_cells: int  # NC
     n_rows: int  # R (padded compact row count)
     n_alpha: int
-    grid_points: int
+    grid_points: int  # lattice points actually packed (after decimation)
+    step: float  # log_ad pitch between packed lattice points
     offsets: np.ndarray  # [A] absolute lattice offsets
     lalpha: np.ndarray  # [A] f32 log-alpha values
 
 
 def build_hist_tables(
     table_np, grid_points, null_row, rows_used, extent_bp,
-    n_alpha=DEFAULT_N_ALPHA, row_pad=8,
+    n_alpha=DEFAULT_N_ALPHA, row_pad=8, decimate=1,
 ):
     """Pack (table - null) rows for the histogram contraction.
 
     table_np: [n_rows_total, G]; null_row: [n_rows_total] per-row null logl
     (the null model depends only on (depth, folded, freq) = the row, see
     models/tables.py null_logl / scan-chromosome.c:23-37).
+
+    decimate=s > 1 keeps every s-th lattice column: the log-distance cell
+    count NC (and with it the per-replicate gather volume and the matmul
+    width, the kernel's dominant costs) shrinks s-fold at the price of an
+    O(cell_width^2) run-mean interpolation error (~0.2 CLR units at s=4,
+    G=2048).  Valid wherever the engine applies the SAME functional to
+    observed and permuted data (the permutation statistic, and scan stages
+    whose winners are re-evaluated exactly).  The top (G-1) % s fine cells
+    of the log_ad range are dropped (~0.04 log units at s=4): immaterial,
+    the table plateaus to the background there (LOG_AD_MAX cutoff).
     """
+    s = max(int(decimate), 1)
+    if s > 1:
+        cols = np.arange(0, grid_points, s)
+        table_np = np.asarray(table_np)[:, cols]
+        step = (LOG_AD_MAX - LOG_AD_MIN) / (grid_points - 1) * s
+        grid_points = len(cols)
+    else:
+        step = (LOG_AD_MAX - LOG_AD_MIN) / (grid_points - 1)
     G = grid_points
-    step = (LOG_AD_MAX - LOG_AD_MIN) / (G - 1)
     inv_step = 1.0 / step
     NC = min(G, int(np.log(max(float(extent_bp), 2.0)) * inv_step) + 2)
     q = dense_alpha_offsets(G, n_alpha)
@@ -127,6 +145,7 @@ def build_hist_tables(
         n_rows=R,
         n_alpha=A,
         grid_points=G,
+        step=float(step),
         offsets=q,
         lalpha=lalpha,
     )
@@ -266,8 +285,7 @@ def build_hist_points(ht: HistTables, pos_np, cand_pos, eval_range,
     Creal = len(cand)
     C = -(-max(Creal, 1) // cand_pad) * cand_pad
     NC = ht.n_cells
-    step = (LOG_AD_MAX - LOG_AD_MIN) / (ht.grid_points - 1)
-    inv_step = 1.0 / step
+    inv_step = 1.0 / ht.step
 
     _, lo, hi = candidate_windows(pos, cand, eval_range)
     sp = np.clip(np.searchsorted(pos, cand, side="left"), lo, hi + 1)
@@ -333,9 +351,8 @@ def make_hist_device_arrays(ht: HistTables, pos_np):
     raises — callers gate on hist_supported first).
     """
     pos = np.asarray(pos_np, dtype=np.int64)
-    step = (LOG_AD_MAX - LOG_AD_MIN) / (ht.grid_points - 1)
     d_ceil = np.ceil(
-        np.exp(np.arange(1, ht.n_cells + 1, dtype=np.float64) * step)
+        np.exp(np.arange(1, ht.n_cells + 1, dtype=np.float64) * ht.step)
     ).astype(np.int64)
     ps_hi, ps_lo = build_pos_prefix(pos)
 

@@ -33,20 +33,35 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks",))
-def _one_replicate(key, gpos, width, n_blocks):
-    k_phase, k_perm = jax.random.split(key)
-    phase = jax.random.uniform(k_phase, (), minval=0.0, maxval=width)
-    block = ((gpos.astype(jnp.float32) + phase) / width).astype(jnp.int32)
-    block = jnp.clip(block, 0, n_blocks - 1)
-    order = jax.random.permutation(k_perm, n_blocks)
-    inv = jnp.zeros(n_blocks, dtype=jnp.int32).at[order].set(
-        jnp.arange(n_blocks, dtype=jnp.int32)
-    )
-    rank = inv[block]
-    return jnp.argsort(rank, stable=True).astype(jnp.int32)
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "n_replicates", "width")
+)
+def _replicates(key, g0, *, n_blocks, n_replicates, width):
+    keys = jax.random.split(key, n_replicates)
+
+    def one(k):
+        k_phase, k_perm = jax.random.split(k)
+        phase = jax.random.uniform(k_phase, (), minval=0.0, maxval=width)
+        block = ((g0.astype(jnp.float32) + phase) / width).astype(jnp.int32)
+        block = jnp.clip(block, 0, n_blocks - 1)
+        order = jax.random.permutation(k_perm, n_blocks)
+        inv = jnp.zeros(n_blocks, dtype=jnp.int32).at[order].set(
+            jnp.arange(n_blocks, dtype=jnp.int32)
+        )
+        rank = inv[block]
+        return jnp.argsort(rank, stable=True).astype(jnp.int32)
+
+    return jax.vmap(one)(keys)
+
+
+# device copies of the caller's host gpos arrays, keyed by identity: the
+# permutation drivers pass the same genome_pos() array every chunk, and the
+# host link is slow (~1.5 MB/s) — re-uploading [W] coordinates each chunk
+# would dominate sigma generation
+_gpos_cache: dict = {}
 
 
 def block_permutation_indices(key, gpos, width_bp, n_replicates):
@@ -55,11 +70,23 @@ def block_permutation_indices(key, gpos, width_bp, n_replicates):
     gpos: [W] genome-wide monotone bp coordinates (chromosome offsets added).
     width_bp: minimum block span (scan_width_mb * 1e6).
     """
-    gpos = jnp.asarray(gpos)
-    span = int(gpos[-1]) - int(gpos[0]) if gpos.shape[0] else 0
+    if isinstance(gpos, jax.Array):
+        g0 = gpos - gpos[0]
+        span = int(gpos[-1]) - int(gpos[0]) if gpos.shape[0] else 0
+    else:
+        gpos = np.asarray(gpos)
+        span = int(gpos[-1]) - int(gpos[0]) if gpos.shape[0] else 0
+        ck = (id(gpos), gpos.shape[0])
+        if ck not in _gpos_cache:
+            if len(_gpos_cache) > 64:
+                _gpos_cache.clear()
+            _gpos_cache[ck] = jnp.asarray(
+                (gpos - (gpos[0] if len(gpos) else 0)).astype(np.int32)
+            )
+        g0 = _gpos_cache[ck]
     n_blocks = max(int(span // width_bp) + 2, 1)
-    keys = jax.random.split(key, n_replicates)
-    g0 = gpos - gpos[0]
-    return jax.vmap(
-        lambda k: _one_replicate(k, g0, float(width_bp), n_blocks)
-    )(keys)
+    return _replicates(
+        key, g0,
+        n_blocks=n_blocks, n_replicates=int(n_replicates),
+        width=float(width_bp),
+    )
