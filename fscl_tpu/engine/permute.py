@@ -16,13 +16,15 @@ the permuted attribute gather, the position zoom, and the window geometry all
 on device.  The host only updates exceedance counts and pruning masks between
 chunks (data-dependent termination stays on host, compute stays compiled).
 
-Test statistic (matched to the C's budget): per coarse interval, a fixed
-13-position subgrid (the C bisection probes ~12 positions,
-scan-chromosome.c:103-139) followed by ONE adaptive zoom round of 17 probes
-at pitch/8 around the subgrid winner, maximized over the two-stage alpha
-lattice.  The identical functional is applied to the observed data (the
-exceedance thresholds are re-derived at permutation setup) and to every null
-replicate — a valid Monte-Carlo test.  ScanResult.clr keeps the densely
+Test statistic: per coarse interval, max CLR over a FIXED fine position grid
+(default 49 points — denser than the ~12 positions the C bisection probes,
+scan-chromosome.c:103-139) x the alpha grid.  A fixed dense grid (rather
+than an adaptive zoom) keeps every gather index replicate-invariant, which
+is what lets the histogram kernel stack all replicates into the gather
+width (ops/histclr.py hist_clr_reps); it also removes the zoom's greedy
+selection noise.  The identical functional is applied to the observed data
+(the exceedance thresholds are re-derived at permutation setup) and to every
+null replicate — a valid Monte-Carlo test.  ScanResult.clr keeps the densely
 scanned *reported* value.
 """
 
@@ -39,20 +41,22 @@ import numpy as np
 from ..ops.histclr import (
     build_hist_points,
     build_hist_tables,
-    hist_clr,
+    hist_clr_reps,
     hist_supported,
     make_hist_device_arrays,
 )
 from ..ops.lattice import LatticeTables, _two_stage_impl
 from ..ops.permute import block_permutation_indices
-from ..ops.windows import candidate_windows, device_windows
+from ..ops.windows import candidate_windows
 from ..utils import MSG_STATUS, MSG_WARN, cr_logmsg, logmsg
 from .scan import _pad_pow2, _pad_sites
 
 CLR_NULL_DIST_SAVE = 10000  # scan-chromosome.c:227
 PRUNE_THRESHOLD = 20  # scan-chromosome.c:490
-N_PERM_POS = 13  # fixed subgrid positions per interval
-N_ZOOM = 17  # adaptive zoom probes around the subgrid winner
+N_PERM_POS = 13  # coarse anchor count; the statistic's fine grid has
+# STAT_DENSIFY*(N_PERM_POS-1)+1 positions per interval (49 by default,
+# ~2 kb pitch on 100 kb intervals — denser than the C bisection's probes)
+STAT_DENSIFY = 4
 POINT_BUCKET = 64  # scan points per dispatch (one compiled shape)
 REP_SUB = 8  # replicates per dispatch (one compiled shape)
 HIST_REP_SUB = 16  # replicates per dispatch on the histogram fast path
@@ -86,9 +90,11 @@ def _stat_max(
     packs, row, null, pos_pad, cand, lo, hi, istart, iend,
     *, grid_points, chunk, n, eval_range, n_pts, J,
 ):
-    """The permutation test statistic: per-interval adaptive max CLR.
+    """The permutation test statistic: per-interval max CLR over the fixed
+    J-point fine position grid (the same functional the hist path computes
+    with hist_clr_reps, minus its run-mean interpolation).
 
-    cand/lo/hi: [n_pts*J] flattened fixed subgrid (already padded arrays are
+    cand/lo/hi: [n_pts*J] flattened fixed grid (already padded arrays are
     sliced by the caller); istart/iend: [n_pts] interval bounds.
     Returns [n_pts] maxima.
     """
@@ -98,31 +104,7 @@ def _stat_max(
         row, pos_pad, null, cand, lo, hi,
         grid_points=grid_points, chunk=chunk,
     )  # [n_pts*J]
-    clr1 = clr1.reshape(n_pts, J)
-    jbest = jnp.argmax(clr1, axis=1)
-    r = jnp.arange(n_pts)
-    best_pos = cand.reshape(n_pts, J)[r, jbest]
-    best1 = clr1[r, jbest]
-
-    pitch = (iend - istart).astype(jnp.float32) / (N_PERM_POS - 1)
-    offs = (jnp.arange(N_ZOOM, dtype=jnp.float32) - N_ZOOM // 2) / 8.0
-    cand2 = best_pos[:, None].astype(jnp.float32) + offs[None, :] * pitch[:, None]
-    cand2 = jnp.clip(
-        cand2, istart[:, None].astype(jnp.float32), iend[:, None].astype(jnp.float32)
-    ).astype(jnp.int32)  # [n_pts, N_ZOOM]
-    flat2 = cand2.reshape(-1)
-    lo2, hi2 = device_windows(pos_pad, n, flat2, eval_range)
-    # invalidate dummy points (iend == istart == 0)
-    dummy = (iend == istart) & (istart == 0)
-    lo2 = jnp.where(jnp.repeat(dummy, N_ZOOM), 1, lo2)
-    hi2 = jnp.where(jnp.repeat(dummy, N_ZOOM), 0, hi2)
-    clr2, _ = _two_stage_impl(
-        pack_coarse, pack_fine, m_coarse, m_fine,
-        row, pos_pad, null, flat2, lo2, hi2,
-        grid_points=grid_points, chunk=chunk,
-    )
-    best2 = clr2.reshape(n_pts, N_ZOOM).max(axis=1)
-    return jnp.maximum(best1, best2)
+    return clr1.reshape(n_pts, J).max(axis=1)
 
 
 @functools.partial(
@@ -209,9 +191,9 @@ class _InterruptState:
                 self.dump_fn()
 
 
-def perm_positions(istart, iend):
-    """The fixed subgrid for each interval's statistic."""
-    f = np.linspace(0.0, 1.0, N_PERM_POS)
+def perm_positions(istart, iend, n_pos):
+    """The fixed fine position grid for each interval's statistic."""
+    f = np.linspace(0.0, 1.0, n_pos)
     return (istart[:, None] + f[None, :] * (iend - istart)[:, None]).astype(
         np.int64
     )
@@ -220,7 +202,8 @@ def perm_positions(istart, iend):
 class _ChrPermContext:
     """Per-chromosome static device arrays for the permutation rounds."""
 
-    def __init__(self, data, cl, scan_cfg, result, pts):
+    def __init__(self, data, cl, scan_cfg, result, pts, n_pos):
+        self.n_pos = n_pos
         n = cl.n_snps
         self.start = cl.start_index
         self.n = n
@@ -248,7 +231,7 @@ class _ChrPermContext:
         ien = np.zeros(n_pts_pad, dtype=np.int64)
         ist[:nA] = result.interval_start[pts_subset]
         ien[:nA] = result.interval_end[pts_subset]
-        cand = perm_positions(ist, ien)  # [n_pts_pad, J]
+        cand = perm_positions(ist, ien, self.n_pos)  # [n_pts_pad, J]
         J = cand.shape[1]
         flat = cand.reshape(-1)
         ns, lo, hi = candidate_windows(self.pos_np, flat, self.eval_range)
@@ -353,7 +336,10 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
         pts = np.where(result.chr_id == c)[0]
         if len(pts) == 0:
             continue
-        ctx = _ChrPermContext(data, cl, scan_cfg, result, pts)
+        ctx = _ChrPermContext(
+            data, cl, scan_cfg, result, pts,
+            STAT_DENSIFY * (cfg.hist_positions - 1) + 1,
+        )
         chr_ctx.append(ctx)
         # observed thresholds under the identical statistic, in the same
         # fixed-size point buckets the permutation rounds use
@@ -466,60 +452,40 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
     return result
 
 
-HIST_ZOOM = 17  # zoom probes around the subgrid winner (matches N_ZOOM)
-HIST_ZOOM_DIV = 8  # zoom pitch = subgrid pitch / 8 (matches legacy _stat_max)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_cells", "n_rows", "n_alpha", "c_sub", "start", "n", "w_pad",
-        "n_pts", "J", "Jf",
+        "n_pts", "Jf",
     ),
 )
 def _hist_perm_batch(t3, bounds, fbar, row_cg, sigma,
                      *, n_cells, n_rows, n_alpha, c_sub, start, n, w_pad,
-                     n_pts, J, Jf):
+                     n_pts, Jf):
     """Statistic maxima per (replicate, point); returns [R, n_pts].
 
-    Two-stage position search mirroring the legacy statistic (_stat_max):
-    stage A evaluates the J-point coarse subgrid (every HIST_ZOOM_DIV-th row
-    of the precomputed fine grid); stage B evaluates HIST_ZOOM probes at
-    fine pitch around each interval's stage-A winner, *selecting* their
-    precomputed (bounds, fbar) rows on device — no per-replicate boundary
-    search.  Both stages use the dense n_alpha lattice alpha grid.
+    Statistic: max CLR over the FULL Jf-point fine position grid x the dense
+    n_alpha lattice alpha grid of each interval.  Evaluating every fine
+    position (rather than a coarse subgrid + per-replicate zoom) keeps the
+    bounds gather indices replicate-invariant, which lets hist_clr_reps
+    stack all replicates into the gather width — the zoom's data-dependent
+    indices would force per-replicate narrow gathers, which cost more than
+    the extra positions.
     """
-    NZ = HIST_ZOOM
-    bounds_f = bounds.reshape(n_pts, Jf, 2, -1)
-    fbar_f = fbar.reshape(n_pts, Jf, 2, -1)
-    coarse_idx = jnp.arange(J, dtype=jnp.int32) * HIST_ZOOM_DIV  # [J]
-
-    def one_rep(sig_r):
-        idx = jax.lax.dynamic_slice(sig_r, (start,), (n,))
-        rc = jnp.pad(row_cg[idx], (0, w_pad - n), constant_values=n_rows)
-        b_a = bounds_f[:, coarse_idx].reshape(n_pts * J, 2, -1)
-        f_a = fbar_f[:, coarse_idx].reshape(n_pts * J, 2, -1)
-        clr_a = hist_clr(
-            t3, b_a, f_a, rc,
-            n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub,
-        ).reshape(n_pts, J, n_alpha)
-        best_a = clr_a.max(axis=(1, 2))
-        jwin = jnp.argmax(clr_a.max(axis=2), axis=1).astype(jnp.int32)  # [n_pts]
-        zoom = jnp.clip(
-            (jwin * HIST_ZOOM_DIV)[:, None]
-            + (jnp.arange(NZ, dtype=jnp.int32) - NZ // 2)[None, :],
-            0, Jf - 1,
-        )  # [n_pts, NZ]
-        p_idx = jnp.arange(n_pts)[:, None]
-        b_z = bounds_f[p_idx, zoom].reshape(n_pts * NZ, 2, -1)
-        f_z = fbar_f[p_idx, zoom].reshape(n_pts * NZ, 2, -1)
-        clr_z = hist_clr(
-            t3, b_z, f_z, rc,
-            n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub,
-        ).reshape(n_pts, NZ, n_alpha)
-        return jnp.maximum(best_a, clr_z.max(axis=(1, 2)))
-
-    return jax.lax.map(one_rep, sigma)
+    P_rep = sigma.shape[0]
+    idx = jax.lax.dynamic_slice(
+        sigma, (0, start), (P_rep, n)
+    )
+    rows = jnp.pad(
+        row_cg[idx], ((0, 0), (0, w_pad - n)), constant_values=n_rows
+    )  # [P, w_pad]
+    clr = hist_clr_reps(
+        t3, bounds, fbar, rows,
+        n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub,
+    )  # [P, n_pts*Jf, A]
+    return clr.reshape(P_rep, n_pts, Jf * n_alpha).max(axis=2)
 
 
 class _ChrHistBucket:
@@ -533,7 +499,7 @@ class _ChrHistBucket:
         ien = np.zeros(n_pts, dtype=np.int64)
         ist[: len(pts)] = result.interval_start[pts]
         ien[: len(pts)] = result.interval_end[pts]
-        Jf = HIST_ZOOM_DIV * (J - 1) + 1
+        Jf = STAT_DENSIFY * (J - 1) + 1
         f = np.linspace(0.0, 1.0, Jf)
         cand = (ist[:, None] + f[None, :] * (ien - ist)[:, None]).astype(
             np.int64
@@ -610,8 +576,8 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             obs = _hist_perm_batch(
                 ht.t3, b.points.bounds, b.points.fbar, row_cg, obs_sigma,
                 n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
-                c_sub=64, start=cl.start_index, n=n, w_pad=w_pad,
-                n_pts=b.n_pts, J=J, Jf=b.Jf,
+                c_sub=32, start=cl.start_index, n=n, w_pad=w_pad,
+                n_pts=b.n_pts, Jf=b.Jf,
             )
             threshold[b.pts] = np.asarray(obs)[0, : len(b.pts)]
             buckets.append(b)
@@ -711,8 +677,8 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                             ht.t3, b.points.bounds, b.points.fbar,
                             row_cg, sig,
                             n_cells=ht.n_cells, n_rows=ht.n_rows,
-                            n_alpha=ht.n_alpha, c_sub=64, start=start,
-                            n=n, w_pad=w_pad, n_pts=b.n_pts, J=J, Jf=b.Jf,
+                            n_alpha=ht.n_alpha, c_sub=32, start=start,
+                            n=n, w_pad=w_pad, n_pts=b.n_pts, Jf=b.Jf,
                         )
 
                     outs = []

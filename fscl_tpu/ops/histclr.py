@@ -399,11 +399,14 @@ def hist_clr(t3, bounds, fbar, row_compact,
     """
     NC, R, A = n_cells, n_rows, n_alpha
     W = row_compact.shape[0]
+    # prefix sums in the narrowest exact integer type: int16 when counts
+    # (<= W) fit — halves the bounds-gather traffic, the kernel's main cost
+    idt = jnp.int16 if W <= 32767 else jnp.int32
     oh = (row_compact[:, None] == jnp.arange(R, dtype=jnp.int32)[None, :])
     ps = jnp.concatenate(
-        [jnp.zeros((1, R), jnp.float32),
-         jnp.cumsum(oh.astype(jnp.float32), axis=0)], axis=0
-    )  # [W+1, R]
+        [jnp.zeros((1, R), jnp.int32),
+         jnp.cumsum(oh.astype(jnp.int32), axis=0)], axis=0
+    ).astype(idt)  # [W+1, R]
 
     C = bounds.shape[0]
     n_chunks = -(-C // c_sub)
@@ -414,12 +417,14 @@ def hist_clr(t3, bounds, fbar, row_compact,
         fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
     b_c = bounds.reshape(n_chunks, c_sub, 2, NC + 1)
     f_c = fbar.reshape(n_chunks, c_sub, 2, NC)
-    sign = jnp.array([-1.0, 1.0], jnp.float32)[None, :, None, None]
+    sign = jnp.array([-1, 1], idt)[None, :, None, None]
 
     def one_chunk(carry, args):
         bc, fc = args
         psb = ps[bc]  # [c_sub, 2, NC+1, R]
-        h = (psb[:, :, 1:, :] - psb[:, :, :-1, :]) * sign
+        h = ((psb[:, :, 1:, :] - psb[:, :, :-1, :]) * sign).astype(
+            jnp.float32
+        )
         w0 = jnp.sum(h * (1.0 - fc[..., None]), axis=1)  # [c_sub, NC, R]
         w1 = jnp.sum(h * fc[..., None], axis=1)
         k = jnp.concatenate([w0, w1], axis=1).reshape(c_sub, 2 * NC * R)
@@ -427,3 +432,67 @@ def hist_clr(t3, bounds, fbar, row_compact,
 
     _, out = jax.lax.scan(one_chunk, None, (b_c, f_c))
     return out.reshape(n_chunks * c_sub, A)[:C]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub"),
+)
+def hist_clr_reps(t3, bounds, fbar, row_rep,
+                  *, n_cells, n_rows, n_alpha, c_sub=32):
+    """CLR[p, c, a] for every (replicate, candidate, dense lattice alpha).
+
+    The replicate-batched variant of hist_clr.  Run geometry (bounds/fbar)
+    is replicate-invariant — block permutations shuffle attributes, never
+    positions — so the replicate axis rides the GATHER WIDTH: prefix sums
+    for all P replicates stack into [W+1, P*R] columns and one bounds
+    gather serves every replicate.  Gathers on this TPU are row-rate-bound
+    (~150M rows/s regardless of width up to several KB), so this is ~P x
+    cheaper than per-replicate gathers; the contraction with the table pack
+    becomes one [c_sub*P, 2*NC*R] MXU matmul per candidate chunk.
+
+    row_rep: [P, Wpad] i32 compact row ids per replicate (>= n_rows rows
+    vanish from the one-hot).  Returns [P, C, A] f32.
+    """
+    NC, R, A = n_cells, n_rows, n_alpha
+    P_rep, W = row_rep.shape
+    # int16 prefix sums where counts (<= W) fit: halves the gather traffic
+    idt = jnp.int16 if W <= 32767 else jnp.int32
+    oh = (row_rep[..., None] == jnp.arange(R, dtype=jnp.int32))  # [P, W, R]
+    oh = oh.astype(jnp.int32).transpose(1, 0, 2).reshape(W, P_rep * R)
+    ps = jnp.concatenate(
+        [jnp.zeros((1, P_rep * R), jnp.int32), jnp.cumsum(oh, axis=0)],
+        axis=0,
+    ).astype(idt)  # [W+1, P*R]
+
+    C = bounds.shape[0]
+    n_chunks = -(-C // c_sub)
+    pad = n_chunks * c_sub - C
+    if pad:
+        bounds = jnp.pad(bounds, ((0, pad), (0, 0), (0, 0)))
+        fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
+    b_c = bounds.reshape(n_chunks, c_sub, 2, NC + 1)
+    f_c = fbar.reshape(n_chunks, c_sub, 2, NC)
+    sign = jnp.array([-1, 1], idt)[None, :, None, None]
+    t3r = t3.reshape(2 * NC, R, A)
+
+    def one_chunk(carry, args):
+        bc, fc = args
+        psb = ps[bc]  # [c_sub, 2, NC+1, P*R]
+        h = ((psb[:, :, 1:, :] - psb[:, :, :-1, :]) * sign).astype(
+            jnp.float32
+        )
+        w0 = jnp.sum(h * (1.0 - fc[..., None]), axis=1)  # [c_sub, NC, P*R]
+        w1 = jnp.sum(h * fc[..., None], axis=1)
+        k = jnp.concatenate([w0, w1], axis=1).reshape(
+            c_sub, 2 * NC, P_rep, R
+        )
+        # contract (cell, row) against the pack for every (candidate, rep)
+        out = jax.lax.dot_general(
+            k, t3r, dimension_numbers=(((1, 3), (0, 1)), ((), ()))
+        )  # [c_sub, P, A]
+        return carry, 2.0 * out
+
+    _, out = jax.lax.scan(one_chunk, None, (b_c, f_c))
+    out = out.reshape(n_chunks * c_sub, P_rep, A)[:C]
+    return out.transpose(1, 0, 2)
