@@ -629,6 +629,16 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             int(active.sum()),
         )
 
+    # sigma is ALWAYS generated at one fixed replicate count (the full-chunk
+    # padding): a short final chunk then reuses both the sigma program and
+    # every dispatch shape (generating [R_small, N] would recompile the
+    # whole permutation program for one chunk); extra rows cost ~nothing
+    # and are never dispatched
+    R_gen = max(
+        -(-cfg.chunk_replicates // HIST_REP_SUB) * HIST_REP_SUB,
+        rep_step if mesh is not None else 0,
+    )
+
     with _InterruptState(dump_fn) as intr:
         while active.any() and rounds_done < cfg.n_permute:
             _tr = _time.monotonic()
@@ -639,11 +649,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             step_now = rep_step if shard_now else HIST_REP_SUB
             R_pad = -(-R // step_now) * step_now
             sub = jax.random.fold_in(key0, rounds_done)
-            # generate the PADDED replicate count directly: every chunk then
-            # shares one compiled sigma shape (a short final chunk would
-            # otherwise compile a fresh [R, N] program); rows beyond R are
-            # computed but not counted
-            sigma_p = block_permutation_indices(sub, gpos, width_bp, R_pad)
+            sigma_p = block_permutation_indices(sub, gpos, width_bp, R_gen)
 
             for chrb in chr_buckets:
                 start, n, w_pad, buckets, pos_np, dev_arrays = chrb
