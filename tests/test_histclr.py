@@ -171,3 +171,51 @@ def test_hist_supported_gate():
     assert hist_supported(50, 100_000)
     assert not hist_supported(4000, 100_000)
     assert not hist_supported(50, 10_000_000)
+
+
+def test_hist_clr_reps_matches_per_replicate_hist_clr():
+    """The replicate-stacked kernel equals hist_clr run per replicate, and
+    the int32 prefix path (sites > 32767) equals the int16 path."""
+    from fscl_tpu.ops.histclr import hist_clr_reps
+
+    tables, pos, row, null = _mk_data(seed=11)
+    ht = _hist_setup(tables, pos, row, null, n_alpha=16)
+    cand = np.array([111_111, 777_777, 1_500_000, int(pos[40])])
+    hp = build_hist_points(ht, pos, cand, eval_range=90, cand_pad=4)
+    row_c = ht.row_map[row].astype(np.int32)
+
+    rng = np.random.default_rng(3)
+    P = 5
+    row_rep = np.stack([rng.permutation(row_c) for _ in range(P)])
+    got = np.asarray(
+        hist_clr_reps(
+            ht.t3, hp.bounds, hp.fbar, jnp.asarray(row_rep),
+            n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
+            c_sub=4,
+        )
+    )[:, : len(cand)]
+    want = np.stack([
+        np.asarray(
+            hist_clr(
+                ht.t3, hp.bounds, hp.fbar, jnp.asarray(row_rep[p]),
+                n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
+                c_sub=4,
+            )
+        )[: len(cand)]
+        for p in range(P)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # int32 path: pad the site axis past the int16 threshold with
+    # out-of-range rows (they vanish from the one-hot) — results identical
+    W_big = 33000
+    row_big = np.full((P, W_big), ht.n_rows, dtype=np.int32)
+    row_big[:, : row_rep.shape[1]] = row_rep
+    got_big = np.asarray(
+        hist_clr_reps(
+            ht.t3, hp.bounds, hp.fbar, jnp.asarray(row_big),
+            n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
+            c_sub=4,
+        )
+    )[:, : len(cand)]
+    np.testing.assert_allclose(got_big, got, rtol=1e-5, atol=1e-4)
