@@ -488,13 +488,26 @@ def _hist_perm_batch(t3, bounds, fbar, row_cg, sigma,
     return clr.reshape(P_rep, n_pts, Jf * n_alpha).max(axis=2)
 
 
+def _bucket_size(n_active):
+    """Smallest power-of-4 bucket >= n_active, capped at POINT_BUCKET.
+
+    Kernel cost scales with the padded point count, so late pruning rounds
+    (a handful of survivors) run in 4- or 16-point buckets instead of
+    padding to 64; each distinct size is one extra compiled shape, cached
+    persistently."""
+    b = 4
+    while b < min(n_active, POINT_BUCKET):
+        b *= 4
+    return b
+
+
 class _ChrHistBucket:
     """One fixed bucket of scan points with precomputed fine-grid geometry."""
 
     def __init__(self, ht, pos_np, result, pts, J, eval_range,
-                 device_arrays=None):
+                 device_arrays=None, n_pts=None):
         self.pts = pts
-        n_pts = POINT_BUCKET
+        n_pts = n_pts or POINT_BUCKET
         ist = np.zeros(n_pts, dtype=np.int64)
         ien = np.zeros(n_pts, dtype=np.int64)
         ist[: len(pts)] = result.interval_start[pts]
@@ -634,35 +647,63 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     # every dispatch shape (generating [R_small, N] would recompile the
     # whole permutation program for one chunk); extra rows cost ~nothing
     # and are never dispatched
-    R_gen = max(
-        -(-cfg.chunk_replicates // HIST_REP_SUB) * HIST_REP_SUB,
-        rep_step if mesh is not None else 0,
-    )
+    _rs = rep_step if mesh is not None else HIST_REP_SUB
+    R_gen = -(-cfg.chunk_replicates // _rs) * _rs  # multiple of every
+    # dispatch step, so all slice windows stay inside the generated rows
+
+    # adaptive cadence: once pruning leaves few survivors, the per-chunk
+    # fixed costs (sigma program, dispatch round-trips, host updates)
+    # dominate, so the replicate count per chunk grows 4x/16x.  The boost
+    # levels are quantized so each sigma shape compiles once; a memory cap
+    # bounds sigma at ~256 MB.  The boost depends only on the active count,
+    # which is deterministic given the config, so runs stay reproducible.
+    boost_cap = max(1, 64_000_000 // max(len(gpos), 1) // max(R_gen, 1))
+
+    def _boost(n_act):
+        b = 1
+        if n_act <= POINT_BUCKET // 4:
+            b = 4
+        if n_act <= POINT_BUCKET // 16:
+            b = 16
+        while b > boost_cap:
+            b //= 4
+        return max(b, 1)
 
     with _InterruptState(dump_fn) as intr:
         while active.any() and rounds_done < cfg.n_permute:
             _tr = _time.monotonic()
-            R = min(cfg.chunk_replicates, cfg.n_permute - rounds_done)
+            boost = _boost(int(active.sum()))
+            R = min(cfg.chunk_replicates * boost,
+                    cfg.n_permute - rounds_done)
             # shard only when the replicate padding stays reasonable (small
             # final chunks run unsharded rather than pad 8x)
             shard_now = mesh is not None and -(-R // rep_step) * rep_step <= 2 * R
             step_now = rep_step if shard_now else HIST_REP_SUB
             R_pad = -(-R // step_now) * step_now
             sub = jax.random.fold_in(key0, rounds_done)
-            sigma_p = block_permutation_indices(sub, gpos, width_bp, R_gen)
+            sigma_p = block_permutation_indices(
+                sub, gpos, width_bp, R_gen * boost
+            )
 
             for chrb in chr_buckets:
                 start, n, w_pad, buckets, pos_np, dev_arrays = chrb
                 # bucket compaction: pruning strands a few active points in
-                # full-size buckets; when the active set fits in fewer
-                # buckets, rebuild (device-side geometry, ~1 dispatch)
+                # full-size buckets; when the active set fits in fewer or
+                # SMALLER buckets, rebuild (device-side geometry, ~1
+                # dispatch).  Kernel cost scales with the padded point
+                # count, so late rounds with a handful of survivors run in
+                # 4/16-point buckets rather than padding to 64.
                 act_chr = np.concatenate(
                     [b.pts[active[b.pts]] for b in buckets]
-                ) if HIST_COMPACT and len(buckets) > 1 else None
+                ) if HIST_COMPACT else None
                 if act_chr is not None and len(act_chr) > 0:
                     need = -(-len(act_chr) // POINT_BUCKET)
-                    if need < sum(
-                        1 for b in buckets if active[b.pts].any()
+                    last_sz = _bucket_size(
+                        len(act_chr) - (need - 1) * POINT_BUCKET
+                    )
+                    live = [b for b in buckets if active[b.pts].any()]
+                    if need < len(live) or (
+                        need == len(live) and last_sz < live[-1].n_pts
                     ):
                         buckets = [
                             _ChrHistBucket(
@@ -670,6 +711,9 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                                 act_chr[g0 : g0 + POINT_BUCKET], J,
                                 scan_cfg.eval_range,
                                 device_arrays=dev_arrays,
+                                n_pts=_bucket_size(
+                                    len(act_chr[g0 : g0 + POINT_BUCKET])
+                                ),
                             )
                             for g0 in range(0, len(act_chr), POINT_BUCKET)
                         ]
@@ -687,9 +731,16 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                             n=n, w_pad=w_pad, n_pts=b.n_pts, Jf=b.Jf,
                         )
 
+                    # kernel cost scales with (reps x padded points), so a
+                    # small bucket takes proportionally more replicates per
+                    # dispatch (capped by the boost so slice shapes stay
+                    # within the generated sigma); the factor is a power of
+                    # 4 so each (rep, bucket) shape compiles once
+                    sub_b = step_now * min(POINT_BUCKET // b.n_pts, boost)
+                    pad_b = -(-R_pad // sub_b) * sub_b
                     outs = []
-                    for r0 in range(0, R_pad, step_now):
-                        sl = sigma_p[r0 : r0 + step_now]
+                    for r0 in range(0, pad_b, sub_b):
+                        sl = sigma_p[r0 : r0 + sub_b]
                         outs.append(
                             sharded_hist_permute(mesh, stat_fn, sl)
                             if shard_now

@@ -456,6 +456,10 @@ def hist_clr_reps(t3, bounds, fbar, row_rep,
     """
     NC, R, A = n_cells, n_rows, n_alpha
     P_rep, W = row_rep.shape
+    # bound the [c_sub, 2, NC+1, P*R] gather temporary: keep c_sub * P_rep
+    # around 1k so large replicate batches (small-bucket pruning tails run
+    # 256 reps/dispatch) don't blow HBM on the per-chunk slab
+    c_sub = min(c_sub, max(2, 1024 // max(P_rep, 1)))
     # int16 prefix sums where counts (<= W) fit: halves the gather traffic
     idt = jnp.int16 if W <= 32767 else jnp.int32
     oh = (row_rep[..., None] == jnp.arange(R, dtype=jnp.int32))  # [P, W, R]
