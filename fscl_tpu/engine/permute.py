@@ -386,10 +386,11 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
     with _InterruptState(dump_fn) as intr:
         while active.any() and rounds_done < cfg.n_permute:
             R = min(cfg.chunk_replicates, cfg.n_permute - rounds_done)
-            # per-chunk key derived from the round counter, so a resumed run
-            # replays the identical permutation stream
-            sub = jax.random.fold_in(key0, rounds_done)
-            sigma = block_permutation_indices(sub, gpos, width_bp, R)
+            # replicate keys derive from absolute indices, so a resumed run
+            # replays the identical permutation stream whatever the chunking
+            sigma = block_permutation_indices(
+                key0, gpos, width_bp, R, start=rounds_done
+            )
 
             # pad the replicate axis to a multiple of REP_SUB by repeating
             # the last row (extra results are discarded) so every dispatch
@@ -680,9 +681,8 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             shard_now = mesh is not None and -(-R // rep_step) * rep_step <= 2 * R
             step_now = rep_step if shard_now else HIST_REP_SUB
             R_pad = -(-R // step_now) * step_now
-            sub = jax.random.fold_in(key0, rounds_done)
             sigma_p = block_permutation_indices(
-                sub, gpos, width_bp, R_gen * boost
+                key0, gpos, width_bp, R_gen * boost, start=rounds_done
             )
 
             for chrb in chr_buckets:

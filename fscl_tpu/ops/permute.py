@@ -39,8 +39,12 @@ import numpy as np
 @functools.partial(
     jax.jit, static_argnames=("n_blocks", "n_replicates", "width")
 )
-def _replicates(key, g0, *, n_blocks, n_replicates, width):
-    keys = jax.random.split(key, n_replicates)
+def _replicates(key, start, g0, *, n_blocks, n_replicates, width):
+    # replicate i's key depends only on its ABSOLUTE index start+i, never on
+    # how the driver chunks replicates: checkpoint resume, adaptive chunk
+    # boosting, and device sharding all replay the identical stream
+    idx = start + jnp.arange(n_replicates, dtype=jnp.uint32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
 
     def one(k):
         k_phase, k_perm = jax.random.split(k)
@@ -64,11 +68,13 @@ def _replicates(key, g0, *, n_blocks, n_replicates, width):
 _gpos_cache: dict = {}
 
 
-def block_permutation_indices(key, gpos, width_bp, n_replicates):
+def block_permutation_indices(key, gpos, width_bp, n_replicates, start=0):
     """Gather indices sigma [R, W]: permuted_attr = attr[sigma[r]].
 
     gpos: [W] genome-wide monotone bp coordinates (chromosome offsets added).
     width_bp: minimum block span (scan_width_mb * 1e6).
+    start: absolute index of the first replicate; row r is a pure function of
+    (key, start + r), so any chunking of the replicate stream reproduces it.
     """
     if isinstance(gpos, jax.Array):
         g0 = gpos - gpos[0]
@@ -86,7 +92,7 @@ def block_permutation_indices(key, gpos, width_bp, n_replicates):
         g0 = _gpos_cache[ck]
     n_blocks = max(int(span // width_bp) + 2, 1)
     return _replicates(
-        key, g0,
+        key, jnp.uint32(start), g0,
         n_blocks=n_blocks, n_replicates=int(n_replicates),
         width=float(width_bp),
     )

@@ -161,6 +161,19 @@ class TestPermute:
         np.testing.assert_array_equal(sig, sig2)
         assert not np.array_equal(sig[0], sig[1])
 
+    def test_stream_invariant_to_chunking(self):
+        # replicate r is a pure function of (key, start+r): any chunking of
+        # the stream (resume, adaptive boosting, sharding) replays it exactly
+        rng = np.random.default_rng(11)
+        gpos = np.sort(rng.choice(5_000_000, 2000, replace=False))
+        key = jax.random.key(42)
+        full = np.asarray(block_permutation_indices(key, gpos, 500_000, 12))
+        a = np.asarray(block_permutation_indices(key, gpos, 500_000, 5))
+        b = np.asarray(
+            block_permutation_indices(key, gpos, 500_000, 7, start=5)
+        )
+        np.testing.assert_array_equal(full, np.concatenate([a, b], axis=0))
+
     def test_blocks_are_contiguous_runs(self):
         # consecutive source indices inside a block stay consecutive
         gpos = np.arange(0, 10_000_000, 2000)

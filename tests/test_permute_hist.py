@@ -60,11 +60,14 @@ def test_hist_and_lattice_paths_agree(scanned):
     # the sweep interval stays the most significant on both paths
     best = np.argmax(r_hist.clr)
     assert r_hist.permute_p[best] <= 3 and r_lat.permute_p[best] <= 3
-    # null reservoirs sample close distributions (quantile agreement)
-    pool_h = np.concatenate(
-        [r_hist.null_clr[i] for i in range(r_hist.n_points)]
-    )
-    pool_l = np.concatenate([r_lat.null_clr[i] for i in range(r_lat.n_points)])
+    # null reservoirs sample close distributions (quantile agreement);
+    # restrict to points never pruned on either path, so both pools hold the
+    # full reservoir per point — pruning schedules differ between paths and
+    # would otherwise weight the pools differently
+    both = np.where(~(r_hist.permute_finished | r_lat.permute_finished))[0]
+    assert len(both) > 0
+    pool_h = np.concatenate([r_hist.null_clr[i] for i in both])
+    pool_l = np.concatenate([r_lat.null_clr[i] for i in both])
     qs = np.linspace(0.1, 0.9, 9)
     qh = np.quantile(pool_h, qs)
     ql = np.quantile(pool_l, qs)
