@@ -1,8 +1,11 @@
 """Micro-benchmark for the hist permutation dispatch at bench shapes.
 
-Times one _hist_perm_batch dispatch (REP_SUB replicates x POINT_BUCKET
-points) and its component costs (ps gather, matmul) to locate the
-bottleneck.  Run on the real TPU:  python bench/micro_hist.py
+Times one _hist_perm_batch dispatch (16 replicates x 64 points x 49 fine
+candidates) and its component stages to locate the bottleneck.  Run on the
+real TPU:  python bench/micro_hist.py
+
+jax.block_until_ready does NOT synchronize on the axon platform; every
+timing forces a host readback of a small array.
 """
 
 import pathlib
@@ -19,92 +22,152 @@ import numpy as np
 import fscl_tpu.engine.permute as P
 from fscl_tpu.ops import histclr as H
 
+W = 20000
+WP = 20480
+G_FULL = 2048
+DECIMATE = 4
+R_ROWS = 8
+A = 128
+N_PTS = 64
+J = 13
+JF = 4 * (J - 1) + 1
+REP = 16
 
-def timeit(f, *a, reps=3, **k):
+
+def timeit(f, *a, reps=5, **k):
     r = f(*a, **k)
-    jax.block_until_ready(r)
+    np.asarray(jax.tree.leaves(r)[0])
     t0 = time.monotonic()
     for _ in range(reps):
         r = f(*a, **k)
-    jax.block_until_ready(r)
+    np.asarray(jax.tree.leaves(r)[0])
     return (time.monotonic() - t0) / reps
 
 
 def main():
     rng = np.random.default_rng(0)
-    W = 20000
-    w_pad = 20480
-    G = 2048
-    R_rows = 8
-    NC = 1436
-    A = 128
-    n_pts = 64
-    J = 13
-    Jf = H and (8 * (J - 1) + 1)
-    REP = 16
+    G = G_FULL // DECIMATE
+    NC = min(G, int(np.log(20e6) / ((24.0 / (G_FULL - 1)) * DECIMATE)) + 2)
+    print(f"shapes: W={W} NC={NC} R={R_ROWS} A={A} C={N_PTS*JF} P={REP}")
 
-    t3 = jnp.asarray(rng.normal(size=(2 * NC * R_rows, A)).astype(np.float32))
+    t3 = jnp.asarray(
+        rng.normal(size=(2 * NC * R_ROWS, A)).astype(np.float32))
     # plausible bounds: sorted prefix indices per (point, fine candidate)
-    b = np.sort(rng.integers(0, W, size=(n_pts * Jf, 2, NC + 1)), axis=-1)
+    b = np.sort(rng.integers(0, W, size=(N_PTS * JF, 2, NC + 1)), axis=-1)
     bounds = jnp.asarray(b.astype(np.int32))
-    fbar = jnp.asarray(rng.random((n_pts * Jf, 2, NC)).astype(np.float32))
-    row_cg = jnp.asarray(rng.integers(0, 3, size=w_pad).astype(np.int32))
+    fbar = jnp.asarray(rng.random((N_PTS * JF, 2, NC)).astype(np.float32))
+    row_cg = jnp.asarray(rng.integers(0, 3, size=WP).astype(np.int32))
     sigma = jnp.asarray(
         np.stack([rng.permutation(W) for _ in range(REP)]).astype(np.int32)
     )
 
     t = timeit(
         P._hist_perm_batch, t3, bounds, fbar, row_cg, sigma,
-        n_cells=NC, n_rows=R_rows, n_alpha=A, c_sub=64,
-        start=0, n=W, w_pad=w_pad, n_pts=n_pts, J=J, Jf=Jf,
+        n_cells=NC, n_rows=R_ROWS, n_alpha=A, c_sub=32,
+        start=0, n=W, w_pad=WP, n_pts=N_PTS, Jf=JF,
     )
-    print(f"_hist_perm_batch {REP} reps x {n_pts} pts: {t*1e3:.0f} ms "
-          f"({t/REP*1e3:.1f} ms/rep)")
+    pr = REP * N_PTS
+    print(f"_hist_perm_batch {REP} reps x {N_PTS} pts: {t*1e3:.1f} ms "
+          f"({pr/t:.0f} point-rounds/s)")
 
-    # component: ps gather at stage-A shape (C=n_pts*J) for ONE replicate
-    ps = jnp.asarray(rng.normal(size=(w_pad + 1, R_rows)).astype(np.float32))
-    bA = bounds.reshape(n_pts, Jf, 2, NC + 1)[:, ::8].reshape(
-        n_pts * J, 2, NC + 1)
+    # stage: ps build only (gather + one-hot + cumsum), forced materialization
+    @jax.jit
+    def ps_stage(row_cg, sigma):
+        idx = jax.lax.dynamic_slice(sigma, (0, 0), (REP, W))
+        rows = jnp.pad(row_cg[idx], ((0, 0), (0, WP - W)),
+                       constant_values=R_ROWS)
+        oh = rows[..., None] == jnp.arange(R_ROWS, dtype=jnp.int32)
+        oh = oh.astype(jnp.int32).transpose(1, 0, 2).reshape(
+            WP, REP * R_ROWS)
+        ps = jnp.concatenate(
+            [jnp.zeros((1, REP * R_ROWS), jnp.int32),
+             jnp.cumsum(oh, axis=0)], axis=0).astype(jnp.int16)
+        return ps
 
     @jax.jit
-    def gather_only(ps, b):
-        return ps[b].sum()
+    def ps_consume(ps):
+        return ps[::997].astype(jnp.int32).sum()
 
-    t = timeit(gather_only, ps, bA)
-    rows = n_pts * J * 2 * (NC + 1)
-    print(f"ps gather C={n_pts*J}: {t*1e3:.1f} ms "
-          f"({rows/t/1e6:.0f}M rows/s, width {R_rows})")
+    ps = ps_stage(row_cg, sigma)
+    t_ps = timeit(lambda: ps_consume(ps_stage(row_cg, sigma)))
+    t_c = timeit(lambda: ps_consume(ps))
+    print(f"ps build (materialized): {(t_ps - t_c)*1e3:.1f} ms")
 
-    # wide variant: replicates stacked into the row axis
-    ps_wide = jnp.asarray(
-        rng.normal(size=(w_pad + 1, R_rows * REP)).astype(np.float32))
-    t = timeit(gather_only, ps_wide, bA)
-    print(f"ps gather wide C={n_pts*J} width {R_rows*REP}: {t*1e3:.1f} ms "
-          f"({rows/t/1e6:.0f}M rows/s) -> serves {REP} reps/row")
+    # stage: gather + weights + matmul given ps (the hist_clr_reps body)
+    @jax.jit
+    def body(ps, bounds, fbar, t3):
+        C = bounds.shape[0]
+        c_sub = 32
+        n_chunks = -(-C // c_sub)
+        b_c = bounds.reshape(n_chunks, c_sub, 2, NC + 1)
+        f_c = fbar.reshape(n_chunks, c_sub, 2, NC)
+        sign = jnp.array([-1, 1], jnp.int16)[None, :, None, None]
+        t3r = t3.reshape(2 * NC, R_ROWS, A)
 
-    # component: the matmul at stage A+B volume for one replicate
-    k = jnp.asarray(
-        rng.normal(size=(n_pts * (J + 17), 2 * NC * R_rows)).astype(np.float32))
+        def one_chunk(carry, args):
+            bc, fc = args
+            psb = ps[bc]
+            h = ((psb[:, :, 1:, :] - psb[:, :, :-1, :]) * sign).astype(
+                jnp.float32)
+            w0 = jnp.sum(h * (1.0 - fc[..., None]), axis=1)
+            w1 = jnp.sum(h * fc[..., None], axis=1)
+            k = jnp.concatenate([w0, w1], axis=1).reshape(
+                c_sub, 2 * NC, REP, R_ROWS)
+            out = jax.lax.dot_general(
+                k, t3r, dimension_numbers=(((1, 3), (0, 1)), ((), ())))
+            return carry, 2.0 * out
+
+        _, out = jax.lax.scan(one_chunk, None, (b_c, f_c))
+        return out.max(axis=(0, 1))
+
+    t_body = timeit(body, ps, bounds, fbar, t3)
+    print(f"body (gather+weights+matmul): {t_body*1e3:.1f} ms")
+
+    # stage: gather only
+    @jax.jit
+    def gather_only(ps, bounds):
+        C = bounds.shape[0]
+        c_sub = 32
+        n_chunks = -(-C // c_sub)
+        b_c = bounds.reshape(n_chunks, c_sub, 2, NC + 1)
+
+        def one_chunk(carry, bc):
+            psb = ps[bc]
+            return carry, psb.astype(jnp.int32).sum(axis=(1, 2, 3))
+
+        _, out = jax.lax.scan(one_chunk, None, b_c)
+        return out.sum()
+
+    t_g = timeit(gather_only, ps, bounds)
+    rows = N_PTS * JF * 2 * (NC + 1)
+    print(f"gather only: {t_g*1e3:.1f} ms ({rows/t_g/1e6:.0f}M rows/s, "
+          f"width {REP*R_ROWS} int16)")
+
+    # matmul only at full volume
+    k = jnp.asarray(rng.normal(
+        size=(N_PTS * JF * REP, 2 * NC * R_ROWS)).astype(np.float32))
 
     @jax.jit
     def mm(k, t3):
-        return k @ t3
+        return (k @ t3).max(axis=0)
 
-    t = timeit(mm, k, t3)
+    t_mm = timeit(mm, k, t3)
     fl = 2 * k.shape[0] * k.shape[1] * A
-    print(f"matmul [{k.shape[0]},{k.shape[1]}]@[{k.shape[1]},{A}]: "
-          f"{t*1e3:.1f} ms ({fl/t/1e12:.1f} TF/s)")
+    print(f"matmul [{k.shape[0]},{k.shape[1]}]@[.,{A}]: {t_mm*1e3:.1f} ms "
+          f"({fl/t_mm/1e12:.1f} TF/s)")
 
-    # cumsum one-hot for one replicate
+    kb = k.astype(jnp.bfloat16)
+    t3b = t3.astype(jnp.bfloat16)
+
     @jax.jit
-    def cs(row_cg, sig):
-        idx = jax.lax.dynamic_slice(sig, (0,), (W,))
-        rc = jnp.pad(row_cg[idx], (0, w_pad - W), constant_values=R_rows)
-        oh = rc[:, None] == jnp.arange(R_rows, dtype=jnp.int32)[None, :]
-        return jnp.cumsum(oh.astype(jnp.float32), axis=0)
+    def mmb(k, t3):
+        return jax.lax.dot_general(
+            k, t3, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).max(axis=0)
 
-    t = timeit(cs, row_cg, sigma[0])
-    print(f"one-hot cumsum [W={W}, R={R_rows}]: {t*1e3:.1f} ms")
+    t_mmb = timeit(mmb, kb, t3b)
+    print(f"matmul bf16: {t_mmb*1e3:.1f} ms ({fl/t_mmb/1e12:.1f} TF/s)")
 
 
 if __name__ == "__main__":

@@ -66,6 +66,7 @@ def main():
     ht = build_hist_tables(
         tables.table, tables.grid_points, null_row, rows_used,
         extent_bp=int(pos_np[-1] - pos_np[0]) + 1, n_alpha=128,
+        decimate=4,
     )
     sync(ht.t3[0])
     t1 = time.perf_counter()
@@ -84,8 +85,8 @@ def main():
         return _hist_perm_batch(
             ht.t3, b.points.bounds, b.points.fbar, row_cg, sigma,
             n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
-            c_sub=64, start=cl.start_index, n=n, w_pad=w_pad,
-            n_pts=b.n_pts, J=13, Jf=b.Jf,
+            c_sub=32, start=cl.start_index, n=n, w_pad=w_pad,
+            n_pts=b.n_pts, Jf=b.Jf,
         )
 
     t0 = time.perf_counter()
@@ -106,7 +107,7 @@ def main():
     packs = (lt.pack_coarse, lt.pack_fine, lt.m_coarse_dev, lt.m_fine_dev)
     row_gen = jnp.asarray(row.astype(np.int32))
     null_gen = jnp.asarray(np.asarray(data.null_logl).astype(np.float32))
-    ctx = _ChrPermContext(data, cl, cfg, result, pts)
+    ctx = _ChrPermContext(data, cl, cfg, result, pts, 49)
     cand, lo, hi, ist, ien, n_pts_pad, Jl = ctx.build_batch(
         result, pts, fixed_bucket=POINT_BUCKET
     )
