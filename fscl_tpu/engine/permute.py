@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.histclr import (
+    HistPoints,
     build_hist_points,
     build_hist_tables,
     hist_clr_reps,
@@ -502,29 +503,74 @@ def _bucket_size(n_active):
     return b
 
 
+def _bucket_cand(result, pts, n_pts, Jf):
+    """[n_pts*Jf] fine-grid candidate positions for one point bucket."""
+    ist = np.zeros(n_pts, dtype=np.int64)
+    ien = np.zeros(n_pts, dtype=np.int64)
+    ist[: len(pts)] = result.interval_start[pts]
+    ien[: len(pts)] = result.interval_end[pts]
+    f = np.linspace(0.0, 1.0, Jf)
+    return (ist[:, None] + f[None, :] * (ien - ist)[:, None]).astype(
+        np.int64
+    ).reshape(-1)
+
+
 class _ChrHistBucket:
     """One fixed bucket of scan points with precomputed fine-grid geometry."""
 
     def __init__(self, ht, pos_np, result, pts, J, eval_range,
-                 device_arrays=None, n_pts=None):
+                 device_arrays=None, n_pts=None, points=None):
         self.pts = pts
         n_pts = n_pts or POINT_BUCKET
-        ist = np.zeros(n_pts, dtype=np.int64)
-        ien = np.zeros(n_pts, dtype=np.int64)
-        ist[: len(pts)] = result.interval_start[pts]
-        ien[: len(pts)] = result.interval_end[pts]
         Jf = STAT_DENSIFY * (J - 1) + 1
-        f = np.linspace(0.0, 1.0, Jf)
-        cand = (ist[:, None] + f[None, :] * (ien - ist)[:, None]).astype(
-            np.int64
-        )
-        self.points = build_hist_points(
-            ht, pos_np, cand.reshape(-1), eval_range, cand_pad=Jf,
-            device_arrays=device_arrays,
-        )
+        if points is None:
+            points = build_hist_points(
+                ht, pos_np, _bucket_cand(result, pts, n_pts, Jf),
+                eval_range, cand_pad=Jf, device_arrays=device_arrays,
+            )
+        self.points = points
         self.n_pts = n_pts
         self.J = J
         self.Jf = Jf
+
+
+def _bucket_groups(pts):
+    """Split a point set into dispatch buckets with power-of-4 padding."""
+    return [
+        (pts[g0 : g0 + POINT_BUCKET],
+         _bucket_size(len(pts[g0 : g0 + POINT_BUCKET])))
+        for g0 in range(0, len(pts), POINT_BUCKET)
+    ]
+
+
+def _build_buckets(ht, pos_np, result, groups, J, eval_range, dev_arrays):
+    """All point buckets of one chromosome from ONE merged geometry build.
+
+    build_hist_points is one device dispatch; per-bucket calls each pay the
+    slow host link's round trip, so every bucket's candidates are
+    concatenated into a single call and the device outputs sliced."""
+    Jf = STAT_DENSIFY * (J - 1) + 1
+    cands = [_bucket_cand(result, pts, n_pts, Jf) for pts, n_pts in groups]
+    merged = build_hist_points(
+        ht, pos_np, np.concatenate(cands) if cands else np.zeros(0, np.int64),
+        eval_range, cand_pad=Jf, device_arrays=dev_arrays,
+    )
+    buckets = []
+    off = 0
+    for pts, n_pts in groups:
+        sz = n_pts * Jf
+        hp = HistPoints(
+            bounds=merged.bounds[off : off + sz],
+            fbar=merged.fbar[off : off + sz],
+            n_cand=sz,
+            n_real=len(pts) * Jf,
+        )
+        buckets.append(
+            _ChrHistBucket(ht, pos_np, result, pts, J, eval_range,
+                           n_pts=n_pts, points=hp)
+        )
+        off += sz
+    return buckets
 
 
 def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
@@ -571,6 +617,8 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     _t0 = _time.monotonic()
     threshold = np.zeros(K)
     chr_buckets = []  # (start, n, w_pad, [buckets])
+    obs_sigma = jnp.arange(len(gpos), dtype=jnp.int32)[None, :]
+    obs_pending = []  # (bucket, device stat) — drained once, below
     for c, cl in enumerate(data.chr_limits):
         pts = np.where(result.chr_id == c)[0]
         if len(pts) == 0:
@@ -579,25 +627,32 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         pos_np = np.asarray(data.pos[sl])
         n = cl.n_snps
         w_pad = _pad_sites(n)
-        buckets = []
-        obs_sigma = jnp.arange(len(gpos), dtype=jnp.int32)[None, :]
         dev_arrays = make_hist_device_arrays(ht, pos_np)
-        for g0 in range(0, len(pts), POINT_BUCKET):
-            b = _ChrHistBucket(
-                ht, pos_np, result, pts[g0 : g0 + POINT_BUCKET], J,
-                scan_cfg.eval_range, device_arrays=dev_arrays,
-            )
+        buckets = _build_buckets(
+            ht, pos_np, result, _bucket_groups(pts), J,
+            scan_cfg.eval_range, dev_arrays,
+        )
+        for b in buckets:
             obs = _hist_perm_batch(
                 ht.t3, b.points.bounds, b.points.fbar, row_cg, obs_sigma,
                 n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
                 c_sub=32, start=cl.start_index, n=n, w_pad=w_pad,
                 n_pts=b.n_pts, Jf=b.Jf,
             )
-            threshold[b.pts] = np.asarray(obs)[0, : len(b.pts)]
-            buckets.append(b)
+            obs_pending.append((b, obs))
         chr_buckets.append(
             [cl.start_index, n, w_pad, buckets, pos_np, dev_arrays]
         )
+    if obs_pending:
+        # one concatenated device vector -> ONE host readback (the slow
+        # tunnel pays per round trip, not per byte, at these sizes)
+        obs_cat = np.asarray(
+            jnp.concatenate([o[0, : len(b.pts)] for b, o in obs_pending])
+        )
+        off = 0
+        for b, _ in obs_pending:
+            threshold[b.pts] = obs_cat[off : off + len(b.pts)]
+            off += len(b.pts)
     logmsg(
         MSG_DEBUG, "hist permutation setup: %.1fs (%d buckets)",
         _time.monotonic() - _t0,
@@ -685,38 +740,32 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 key0, gpos, width_bp, R_gen * boost, start=rounds_done
             )
 
+            pending = []  # (bucket, [device stats]) — drained after ALL
+            # dispatches are enqueued: buckets hold disjoint points, so the
+            # results are identical to interleaved updates, but the host
+            # pays ONE pipeline drain per chunk instead of one slow-tunnel
+            # round trip per bucket
             for chrb in chr_buckets:
                 start, n, w_pad, buckets, pos_np, dev_arrays = chrb
                 # bucket compaction: pruning strands a few active points in
-                # full-size buckets; when the active set fits in fewer or
-                # SMALLER buckets, rebuild (device-side geometry, ~1
-                # dispatch).  Kernel cost scales with the padded point
-                # count, so late rounds with a handful of survivors run in
-                # 4/16-point buckets rather than padding to 64.
+                # full-size buckets; rebuild (one device geometry dispatch)
+                # only when the padded dispatch cost at least halves —
+                # kernel cost scales with the padded point count, so late
+                # rounds with a handful of survivors run in 4/16-point
+                # buckets rather than padding to 64
                 act_chr = np.concatenate(
                     [b.pts[active[b.pts]] for b in buckets]
                 ) if HIST_COMPACT else None
                 if act_chr is not None and len(act_chr) > 0:
-                    need = -(-len(act_chr) // POINT_BUCKET)
-                    last_sz = _bucket_size(
-                        len(act_chr) - (need - 1) * POINT_BUCKET
+                    groups = _bucket_groups(act_chr)
+                    old_padded = sum(
+                        b.n_pts for b in buckets if active[b.pts].any()
                     )
-                    live = [b for b in buckets if active[b.pts].any()]
-                    if need < len(live) or (
-                        need == len(live) and last_sz < live[-1].n_pts
-                    ):
-                        buckets = [
-                            _ChrHistBucket(
-                                ht, pos_np, result,
-                                act_chr[g0 : g0 + POINT_BUCKET], J,
-                                scan_cfg.eval_range,
-                                device_arrays=dev_arrays,
-                                n_pts=_bucket_size(
-                                    len(act_chr[g0 : g0 + POINT_BUCKET])
-                                ),
-                            )
-                            for g0 in range(0, len(act_chr), POINT_BUCKET)
-                        ]
+                    if 2 * sum(np_ for _, np_ in groups) <= old_padded:
+                        buckets = _build_buckets(
+                            ht, pos_np, result, groups, J,
+                            scan_cfg.eval_range, dev_arrays,
+                        )
                         chrb[3] = buckets
                 for b in buckets:
                     if not active[b.pts].any():
@@ -746,11 +795,26 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                             if shard_now
                             else stat_fn(sl)
                         )
-                    nm = np.concatenate([np.asarray(o) for o in outs], axis=0)
+                    pending.append((b, outs))
+            if pending:
+                # concatenate every bucket's [R, n_active] block device-side
+                # and read back ONCE per chunk
+                nm_cat = np.asarray(
+                    jnp.concatenate(
+                        [
+                            jnp.concatenate(outs, axis=0)[:R, : len(b.pts)]
+                            for b, outs in pending
+                        ],
+                        axis=1,
+                    )
+                )
+                off = 0
+                for b, _ in pending:
                     _apply_round_updates(
                         result, active, threshold, rng, cfg, b.pts,
-                        nm[:R, : len(b.pts)], rounds_done, R,
+                        nm_cat[:, off : off + len(b.pts)], rounds_done, R,
                     )
+                    off += len(b.pts)
 
             rounds_done += R
             _progress()
