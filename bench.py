@@ -113,6 +113,10 @@ def run_ours():
     result = scan_genome(data, tables, scan_cfg)
     t_scan = time.monotonic() - t0
 
+    # chunk 32 measured faster than one 50-replicate chunk (5.0k vs 6.4k
+    # point-rounds/s): the mid-run pruning pass drops ~40% of points from
+    # the second chunk's dispatches, which outweighs the second chunk's
+    # fixed host overhead
     perm_cfg = PermuteConfig(n_permute=N_PERMUTE, chunk_replicates=32, seed=1)
     warm = copy.deepcopy(result)
     t0 = time.monotonic()

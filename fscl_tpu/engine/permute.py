@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import LOG_AD_MAX, LOG_AD_MIN
 from ..ops.histclr import (
     HistPoints,
     build_hist_points,
@@ -81,10 +82,12 @@ class PermuteConfig:
     use_hist: bool = True
     hist_positions: int = N_PERM_POS  # per-interval position subgrid
     hist_alphas: int = 128  # dense lattice alpha grid (pitch ~0.19 log-units)
-    hist_decimate: int = 4  # lattice decimation for the null statistic:
+    hist_decimate: int = 8  # lattice decimation for the null statistic:
     # gather volume and matmul width shrink this factor; the run-mean
-    # interpolation error grows to ~0.2 CLR units (identical functional for
-    # observed thresholds and null replicates, so the test stays valid)
+    # interpolation error grows to ~1 CLR unit at 8 (identical functional
+    # for observed thresholds and null replicates, so the test stays valid
+    # at any decimation — the scan's reported CLR stays exact regardless);
+    # capped so the decimated lattice step stays under ~0.1 log_ad units
 
 
 def _stat_max(
@@ -596,10 +599,15 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         int(data.pos[cl.start_index + cl.n_snps - 1] - data.pos[cl.start_index])
         for cl in data.chr_limits if cl.n_snps > 0
     ]
+    # cap decimation so the decimated step stays under ~0.1 log_ad units:
+    # the run-mean interpolation error grows with step^2, and coarse grids
+    # (tests run G=256) would otherwise land on absurd cell widths
+    base_step = (LOG_AD_MAX - LOG_AD_MIN) / max(tables.grid_points - 1, 1)
+    dec = max(1, min(cfg.hist_decimate, int(0.1 / base_step)))
     ht = build_hist_tables(
         tables.table, tables.grid_points, null_row, rows_used,
         extent_bp=max(extents) + 1, n_alpha=cfg.hist_alphas,
-        decimate=cfg.hist_decimate,
+        decimate=dec,
     )
     row_cg = jnp.asarray(ht.row_map[np.asarray(data.row)].astype(np.int32))
     gpos = data.genome_pos()

@@ -158,3 +158,40 @@ def test_hist_gate_falls_back(scanned, monkeypatch):
     monkeypatch.setattr(pm, "hist_supported", lambda r, n: False)
     _run(scanned, True, n_permute=8)
     assert calls["hist"] == 0
+
+
+def test_decimated_statistic_matches_exact(scanned):
+    """Null-statistic decimation keeps exceedance fractions calibrated.
+
+    The engine caps hist_decimate so the decimated lattice step stays under
+    ~0.1 log_ad units; at G=1024 the cap allows 4x.  Identical permutation
+    streams with the decimated vs exact lattice must produce closely
+    agreeing per-point exceedance fractions (the thresholds are re-derived
+    with the same functional on each side)."""
+    data, tables_256, scan_cfg, _ = scanned
+    from fscl_tpu.models import background_fsp, build_tables
+
+    fsp = background_fsp(
+        data.obs_freq, data.depth_p, data.folded, data.sample_depths
+    )
+    tables = build_tables(fsp, data.sample_depths, grid_points=1024)
+    data.attach_model(tables)
+    try:
+        result0 = scan_genome(data, tables, scan_cfg)
+
+        def run(dec):
+            r = copy.deepcopy(result0)
+            cfg = PermuteConfig(
+                n_permute=48, seed=5, chunk_replicates=16, use_hist=True,
+                hist_decimate=dec,
+            )
+            scan_permute(data, tables, r, scan_cfg, cfg)
+            return r
+
+        r_dec = run(8)  # capped to 4 at G=1024
+        r_exact = run(1)
+        f_dec = r_dec.permute_p / np.maximum(r_dec.permute_n, 1)
+        f_exact = r_exact.permute_p / np.maximum(r_exact.permute_n, 1)
+        assert np.abs(f_dec - f_exact).mean() < 0.10
+    finally:
+        data.attach_model(tables_256)
