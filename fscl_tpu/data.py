@@ -58,6 +58,8 @@ class SNPData:
         """
         self.row = tables.site_rows(self.depth_p, self.folded, self.obs_freq)
         self.null_logl = tables.null_logl(self.depth_p, self.folded, self.obs_freq)
+        # row/null changed: drop memoized hist table packs (engine/scan.py)
+        self._hist_tables_cache = {}
 
     def genome_pos(self) -> np.ndarray:
         """Monotone genome-wide coordinate (chromosome offsets accumulated).

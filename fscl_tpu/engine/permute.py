@@ -38,11 +38,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import LOG_AD_MAX, LOG_AD_MIN
 from ..ops.histclr import (
     HistPoints,
     build_hist_points,
-    build_hist_tables,
     hist_clr_reps,
     hist_supported,
     make_hist_device_arrays,
@@ -593,22 +591,15 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     import time as _time
 
     _tt = _time.monotonic()
-    null_row = np.zeros(tables.table.shape[0])
-    null_row[np.asarray(data.row)] = np.asarray(data.null_logl)
-    extents = [
-        int(data.pos[cl.start_index + cl.n_snps - 1] - data.pos[cl.start_index])
-        for cl in data.chr_limits if cl.n_snps > 0
-    ]
-    # cap decimation so the decimated step stays under ~0.1 log_ad units:
-    # the run-mean interpolation error grows with step^2, and coarse grids
-    # (tests run G=256) would otherwise land on absurd cell widths
-    base_step = (LOG_AD_MAX - LOG_AD_MIN) / max(tables.grid_points - 1, 1)
-    dec = max(1, min(cfg.hist_decimate, int(0.1 / base_step)))
-    ht = build_hist_tables(
-        tables.table, tables.grid_points, null_row, rows_used,
-        extent_bp=max(extents) + 1, n_alpha=cfg.hist_alphas,
-        decimate=dec,
+    # decimation cap + per-dataset memo live in make_scan_hist_tables; when
+    # the scan ran with the same (n_alpha, decimation) the table pack is
+    # reused as-is
+    from .scan import make_scan_hist_tables
+
+    ht = make_scan_hist_tables(
+        data, tables, n_alpha=cfg.hist_alphas, decimate=cfg.hist_decimate
     )
+    assert ht is not None  # caller gated on hist_supported + geometry
     row_cg = jnp.asarray(ht.row_map[np.asarray(data.row)].astype(np.int32))
     gpos = data.genome_pos()
     width_bp = cfg.scan_width_mb * 1e6

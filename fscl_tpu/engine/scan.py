@@ -54,7 +54,10 @@ class ScanConfig:
     use_hist: bool = True
     hist_alphas: int = 128
     hist_decimate: int = 4  # lattice decimation for the selection stages
-    # (ops/histclr.py build_hist_tables); winners are re-evaluated exactly
+    # (ops/histclr.py build_hist_tables), capped so the decimated step
+    # stays under ~0.1 log_ad units; winners are re-evaluated exactly.
+    # 8 halves the (off-metric) scan wall but costs ~1 CLR unit of
+    # selection fidelity on sharp peaks — 4 keeps selection error ~0.2.
 
 
 @dataclasses.dataclass
@@ -160,8 +163,12 @@ class _ChromosomeBlock:
             )
         ns, lo, hi = candidate_windows(self.pos_np, cand_flat, cfg.eval_range)
         P = len(cand_flat)
-        # fixed candidate bucket: one compiled shape per chromosome size
-        p_pad = 4096 if P <= 4096 else _pad_pow2(P, minimum=cfg.chunk)
+        # power-of-2 candidate buckets (>= 256) bound the compiled-shape
+        # count while keeping small calls small: the winners-only exact
+        # re-eval passes ~n_int candidates, and padding those to a fixed
+        # 4096 made the per-site lattice kernel 20x more expensive than
+        # needed (0.8s -> <0.1s on the 20k-site bench)
+        p_pad = _pad_pow2(P, minimum=256)
         cand_d = np.zeros(p_pad, dtype=np.int32)
         cand_d[:P] = cand_flat
         lo_d = np.ones(p_pad, dtype=np.int32)
@@ -213,35 +220,57 @@ class _HistScanContext:
         a = jnp.argmax(clr, axis=1)
         best = jnp.take_along_axis(clr, a[:, None], axis=1)[:, 0]
         la = jnp.asarray(ht.lalpha)[a]
-        return np.asarray(best), np.asarray(la)
+        # one stacked readback: the remote device link pays per round trip
+        out = np.asarray(jnp.stack([best, la]))
+        return out[0], out[1]
 
 
 def make_scan_hist_tables(data, tables, n_alpha=128, decimate=1):
-    """Genome-wide HistTables for the scan's dense stages (or None)."""
+    """Genome-wide HistTables for the scan's dense stages (or None).
+
+    Decimation is capped so the decimated lattice step stays under ~0.1
+    log_ad units (coarse test grids fall back to the exact lattice).
+    The result is memoized on ``data`` keyed by (n_alpha, effective
+    decimation) — scan and permutation share one table build per dataset
+    (attach_model drops the cache when the model changes)."""
+    from .. import LOG_AD_MAX, LOG_AD_MIN
     from ..ops.histclr import hist_geometry_ok
+
+    base_step = (LOG_AD_MAX - LOG_AD_MIN) / max(tables.grid_points - 1, 1)
+    decimate = max(1, min(int(decimate), int(0.1 / base_step)))
+    cache = getattr(data, "_hist_tables_cache", None)
+    if cache is None:
+        cache = data._hist_tables_cache = {}
+    key = (n_alpha, decimate)
+    if key in cache:
+        return cache[key]
 
     row = np.asarray(data.row)
     rows_used = np.unique(row)
     max_n = max((cl.n_snps for cl in data.chr_limits), default=0)
-    if not hist_supported(len(rows_used), max_n):
-        return None
-    if not all(
-        hist_geometry_ok(data.pos[cl.start_index : cl.start_index + cl.n_snps])
-        for cl in data.chr_limits if cl.n_snps > 0
-    ):
-        return None
-    null_row = np.zeros(tables.table.shape[0])
-    null_row[row] = np.asarray(data.null_logl)
+    ht = None
     extents = [
         int(data.pos[cl.start_index + cl.n_snps - 1] - data.pos[cl.start_index])
         for cl in data.chr_limits if cl.n_snps > 0
     ]
-    if not extents:
-        return None
-    return build_hist_tables(
-        tables.table, tables.grid_points, null_row, rows_used,
-        extent_bp=max(extents) + 1, n_alpha=n_alpha, decimate=decimate,
-    )
+    if (
+        hist_supported(len(rows_used), max_n)
+        and extents
+        and all(
+            hist_geometry_ok(
+                data.pos[cl.start_index : cl.start_index + cl.n_snps]
+            )
+            for cl in data.chr_limits if cl.n_snps > 0
+        )
+    ):
+        null_row = np.zeros(tables.table.shape[0])
+        null_row[row] = np.asarray(data.null_logl)
+        ht = build_hist_tables(
+            tables.table, tables.grid_points, null_row, rows_used,
+            extent_bp=max(extents) + 1, n_alpha=n_alpha, decimate=decimate,
+        )
+    cache[key] = ht
+    return ht
 
 
 def refine_positions(best_pos, istart, iend, pitch):
@@ -310,6 +339,7 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         best_clr = clr[r, jbest]
         best_la = la[r, jbest]
 
+        tie_pos = None
         if cfg.refine:
             # iterative zoom to bp_resl: re-center on the running winner and
             # shrink the pitch ~8x per round — a batched descent that covers
@@ -328,11 +358,25 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
                 best_pos = np.where(better, cand2[r, j2], best_pos)
                 best_la = np.where(better, la2[r, j2], best_la)
                 best_clr = np.where(better, clr2[r, j2], best_clr)
+            if hctx is not None and n2 >= 3:
+                # near-ties of the last refine round: the hist selection
+                # carries O(cell-width^2) interpolation error, so positions
+                # within that error of the winner can hold the true maximum
+                tie_pos = cand2[r[:, None], np.argsort(clr2, axis=1)[:, -3:]]
 
         if hctx is not None:
             # the hist stages are selection-grade; report exact CLR/alpha
-            # from the lattice kernel at the winning positions
-            best_clr, best_la, *_ = blk.eval_candidates(best_pos, cfg, G)
+            # from the lattice kernel at the winner plus refine near-ties
+            cx = (
+                np.concatenate([best_pos[:, None], tie_pos], axis=1)
+                if tie_pos is not None else best_pos[:, None]
+            )
+            kx = cx.shape[1]
+            ex_clr, ex_la, *_ = blk.eval_candidates(cx.reshape(-1), cfg, G)
+            jx = np.argmax(ex_clr.reshape(n_int, kx), axis=1)
+            best_pos = cx[r, jx]
+            best_clr = ex_clr.reshape(n_int, kx)[r, jx]
+            best_la = ex_la.reshape(n_int, kx)[r, jx]
 
         ns, lo, hi = candidate_windows(blk.pos_np, best_pos, cfg.eval_range)
         out["chr_id"].append(np.full(n_int, c, dtype=np.int32))
