@@ -41,7 +41,8 @@ import numpy as np
 from ..ops.histclr import (
     HistPoints,
     build_hist_points,
-    hist_clr_reps,
+    build_prefix_sums,
+    hist_clr_reps_ps,
     hist_supported,
     make_hist_device_arrays,
 )
@@ -57,9 +58,12 @@ N_PERM_POS = 13  # coarse anchor count; the statistic's fine grid has
 # STAT_DENSIFY*(N_PERM_POS-1)+1 positions per interval (49 by default,
 # ~2 kb pitch on 100 kb intervals — denser than the C bisection's probes)
 STAT_DENSIFY = 4
-POINT_BUCKET = 64  # scan points per dispatch (one compiled shape)
+POINT_BUCKET = 64  # scan points per dispatch (lattice fallback path)
 REP_SUB = 8  # replicates per dispatch (one compiled shape)
 HIST_REP_SUB = 16  # replicates per dispatch on the histogram fast path
+HIST_POINT_BUCKET = 256  # scan points per hist dispatch: larger buckets
+# amortize the per-chromosome prefix-sum build and per-dispatch overheads;
+# bounds/fbar stay ~18 MB at 256 points x 49 fine candidates
 HIST_COMPACT = True  # rebuild point buckets as pruning empties them
 
 
@@ -458,48 +462,69 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("start", "n", "w_pad", "n_rows")
+)
+def _perm_ps(row_cg, sigma, *, start, n, w_pad, n_rows):
+    """Permuted-attribute prefix sums [w_pad+1, P*R] for one chromosome.
+
+    The sigma attribute gather plus the one-hot prefix pass are identical
+    for every point bucket, so the driver runs this ONCE per (replicate
+    slice, chromosome) and feeds the result to every bucket's _hist_stat.
+    """
+    P_rep = sigma.shape[0]
+    idx = jax.lax.dynamic_slice(sigma, (0, start), (P_rep, n))
+    rows = jnp.pad(
+        row_cg[idx], ((0, 0), (0, w_pad - n)), constant_values=n_rows
+    )  # [P, w_pad]
+    return build_prefix_sums(rows, n_rows=n_rows)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=(
-        "n_cells", "n_rows", "n_alpha", "c_sub", "start", "n", "w_pad",
-        "n_pts", "Jf",
+        "n_rep", "n_cells", "n_rows", "n_alpha", "c_sub", "n_pts", "Jf",
     ),
 )
-def _hist_perm_batch(t3, bounds, fbar, row_cg, sigma,
-                     *, n_cells, n_rows, n_alpha, c_sub, start, n, w_pad,
-                     n_pts, Jf):
+def _hist_stat(t3, bounds, fbar, ps,
+               *, n_rep, n_cells, n_rows, n_alpha, c_sub, n_pts, Jf):
     """Statistic maxima per (replicate, point); returns [R, n_pts].
 
     Statistic: max CLR over the FULL Jf-point fine position grid x the dense
     n_alpha lattice alpha grid of each interval.  Evaluating every fine
     position (rather than a coarse subgrid + per-replicate zoom) keeps the
-    bounds gather indices replicate-invariant, which lets hist_clr_reps
+    bounds gather indices replicate-invariant, which lets hist_clr_reps_ps
     stack all replicates into the gather width — the zoom's data-dependent
     indices would force per-replicate narrow gathers, which cost more than
     the extra positions.
     """
-    P_rep = sigma.shape[0]
-    idx = jax.lax.dynamic_slice(
-        sigma, (0, start), (P_rep, n)
-    )
-    rows = jnp.pad(
-        row_cg[idx], ((0, 0), (0, w_pad - n)), constant_values=n_rows
-    )  # [P, w_pad]
-    clr = hist_clr_reps(
-        t3, bounds, fbar, rows,
+    clr = hist_clr_reps_ps(
+        t3, bounds, fbar, ps, n_rep=n_rep,
         n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub,
     )  # [P, n_pts*Jf, A]
-    return clr.reshape(P_rep, n_pts, Jf * n_alpha).max(axis=2)
+    return clr.reshape(n_rep, n_pts, Jf * n_alpha).max(axis=2)
+
+
+def _hist_perm_batch(t3, bounds, fbar, row_cg, sigma,
+                     *, n_cells, n_rows, n_alpha, c_sub, start, n, w_pad,
+                     n_pts, Jf):
+    """_perm_ps + _hist_stat in one call (micro-benchmarks, single bucket)."""
+    ps = _perm_ps(row_cg, sigma, start=start, n=n, w_pad=w_pad,
+                  n_rows=n_rows)
+    return _hist_stat(
+        t3, bounds, fbar, ps, n_rep=sigma.shape[0], n_cells=n_cells,
+        n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub, n_pts=n_pts, Jf=Jf,
+    )
 
 
 def _bucket_size(n_active):
-    """Smallest power-of-4 bucket >= n_active, capped at POINT_BUCKET.
+    """Smallest power-of-4 bucket >= n_active, capped at HIST_POINT_BUCKET.
 
     Kernel cost scales with the padded point count, so late pruning rounds
-    (a handful of survivors) run in 4- or 16-point buckets instead of
-    padding to 64; each distinct size is one extra compiled shape, cached
+    (a handful of survivors) run in 4/16/64-point buckets instead of
+    padding to 256; each distinct size is one extra compiled shape, cached
     persistently."""
     b = 4
-    while b < min(n_active, POINT_BUCKET):
+    while b < min(n_active, HIST_POINT_BUCKET):
         b *= 4
     return b
 
@@ -522,7 +547,7 @@ class _ChrHistBucket:
     def __init__(self, ht, pos_np, result, pts, J, eval_range,
                  device_arrays=None, n_pts=None, points=None):
         self.pts = pts
-        n_pts = n_pts or POINT_BUCKET
+        n_pts = n_pts or HIST_POINT_BUCKET
         Jf = STAT_DENSIFY * (J - 1) + 1
         if points is None:
             points = build_hist_points(
@@ -536,12 +561,24 @@ class _ChrHistBucket:
 
 
 def _bucket_groups(pts):
-    """Split a point set into dispatch buckets with power-of-4 padding."""
-    return [
-        (pts[g0 : g0 + POINT_BUCKET],
-         _bucket_size(len(pts[g0 : g0 + POINT_BUCKET])))
-        for g0 in range(0, len(pts), POINT_BUCKET)
-    ]
+    """Split a point set into dispatch buckets.
+
+    Full HIST_POINT_BUCKET groups, then the remainder at 64-point
+    granularity with a power-of-4 tail — padding waste stays < 64 points
+    while every shape comes from the small set {4, 16, 64, 256}.  The
+    per-chromosome prefix-sum build is hoisted out of the bucket loop, so
+    extra buckets cost only one statistic dispatch each."""
+    groups = []
+    n_full = len(pts) // HIST_POINT_BUCKET * HIST_POINT_BUCKET
+    for g0 in range(0, n_full, HIST_POINT_BUCKET):
+        groups.append(
+            (pts[g0 : g0 + HIST_POINT_BUCKET], HIST_POINT_BUCKET)
+        )
+    rem = pts[n_full:]
+    for g0 in range(0, len(rem), 64):
+        grp = rem[g0 : g0 + 64]
+        groups.append((grp, _bucket_size(len(grp))))
+    return groups
 
 
 def _build_buckets(ht, pos_np, result, groups, J, eval_range, dev_arrays):
@@ -631,12 +668,15 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             ht, pos_np, result, _bucket_groups(pts), J,
             scan_cfg.eval_range, dev_arrays,
         )
+        obs_ps = _perm_ps(
+            row_cg, obs_sigma, start=cl.start_index, n=n, w_pad=w_pad,
+            n_rows=ht.n_rows,
+        )
         for b in buckets:
-            obs = _hist_perm_batch(
-                ht.t3, b.points.bounds, b.points.fbar, row_cg, obs_sigma,
+            obs = _hist_stat(
+                ht.t3, b.points.bounds, b.points.fbar, obs_ps, n_rep=1,
                 n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
-                c_sub=32, start=cl.start_index, n=n, w_pad=w_pad,
-                n_pts=b.n_pts, Jf=b.Jf,
+                c_sub=32, n_pts=b.n_pts, Jf=b.Jf,
             )
             obs_pending.append((b, obs))
         chr_buckets.append(
@@ -716,9 +756,9 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
     def _boost(n_act):
         b = 1
-        if n_act <= POINT_BUCKET // 4:
+        if n_act <= HIST_POINT_BUCKET // 16:
             b = 4
-        if n_act <= POINT_BUCKET // 16:
+        if n_act <= HIST_POINT_BUCKET // 64:
             b = 16
         while b > boost_cap:
             b //= 4
@@ -766,35 +806,45 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                             scan_cfg.eval_range, dev_arrays,
                         )
                         chrb[3] = buckets
-                for b in buckets:
-                    if not active[b.pts].any():
-                        continue
+                live = [b for b in buckets if active[b.pts].any()]
+                if not live:
+                    continue
+                # one replicate-slice width for the whole chromosome so ONE
+                # prefix-sum build (sigma gather + one-hot cumsum, ~5 ms)
+                # serves every bucket's statistic dispatch.  Kernel cost
+                # scales with (reps x padded points), so small padded
+                # bucket sets take proportionally more replicates per
+                # dispatch (capped by the boost so slice shapes stay within
+                # the generated sigma); the factor is a power of 4 so each
+                # (rep, bucket) shape compiles once.
+                max_pts = max(b.n_pts for b in live)
+                sub_b = step_now * min(HIST_POINT_BUCKET // max_pts, boost)
+                pad_b = -(-R_pad // sub_b) * sub_b
 
-                    def stat_fn(sig, b=b, start=start, n=n, w_pad=w_pad):
-                        return _hist_perm_batch(
-                            ht.t3, b.points.bounds, b.points.fbar,
-                            row_cg, sig,
-                            n_cells=ht.n_cells, n_rows=ht.n_rows,
-                            n_alpha=ht.n_alpha, c_sub=32, start=start,
-                            n=n, w_pad=w_pad, n_pts=b.n_pts, Jf=b.Jf,
+                def chr_fn(sig, live=live, start=start, n=n, w_pad=w_pad):
+                    ps = _perm_ps(row_cg, sig, start=start, n=n,
+                                  w_pad=w_pad, n_rows=ht.n_rows)
+                    return tuple(
+                        _hist_stat(
+                            ht.t3, b.points.bounds, b.points.fbar, ps,
+                            n_rep=sig.shape[0], n_cells=ht.n_cells,
+                            n_rows=ht.n_rows, n_alpha=ht.n_alpha,
+                            c_sub=32, n_pts=b.n_pts, Jf=b.Jf,
                         )
+                        for b in live
+                    )
 
-                    # kernel cost scales with (reps x padded points), so a
-                    # small bucket takes proportionally more replicates per
-                    # dispatch (capped by the boost so slice shapes stay
-                    # within the generated sigma); the factor is a power of
-                    # 4 so each (rep, bucket) shape compiles once
-                    sub_b = step_now * min(POINT_BUCKET // b.n_pts, boost)
-                    pad_b = -(-R_pad // sub_b) * sub_b
-                    outs = []
-                    for r0 in range(0, pad_b, sub_b):
-                        sl = sigma_p[r0 : r0 + sub_b]
-                        outs.append(
-                            sharded_hist_permute(mesh, stat_fn, sl)
-                            if shard_now
-                            else stat_fn(sl)
-                        )
-                    pending.append((b, outs))
+                outs_slices = [
+                    sharded_hist_permute(
+                        mesh, chr_fn, sigma_p[r0 : r0 + sub_b],
+                        n_out=len(live),
+                    )
+                    if shard_now
+                    else chr_fn(sigma_p[r0 : r0 + sub_b])
+                    for r0 in range(0, pad_b, sub_b)
+                ]
+                for k, b in enumerate(live):
+                    pending.append((b, [o[k] for o in outs_slices]))
             if pending:
                 # concatenate every bucket's [R, n_active] block device-side
                 # and read back ONCE per chunk

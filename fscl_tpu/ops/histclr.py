@@ -51,6 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import LOG_AD_MAX, LOG_AD_MIN
+from .pallas_ps import onehot_prefix_sums, ps_supported
 from .windows import candidate_windows
 
 DEFAULT_N_ALPHA = 128
@@ -434,6 +435,37 @@ def hist_clr(t3, bounds, fbar, row_compact,
     return out.reshape(n_chunks * c_sub, A)[:C]
 
 
+def build_prefix_sums(row_rep, *, n_rows):
+    """[W+1, P*R] one-hot prefix sums for replicate-stacked row ids.
+
+    row_rep: [P, Wpad] i32 compact row ids per replicate (ids >= n_rows
+    vanish from the one-hot).  int16 output where counts fit (W <= 32767)
+    halves the bounds-gather traffic downstream.  On TPU with a lane-
+    aligned width the fused Pallas kernel (ops/pallas_ps.py) builds the
+    sums in one pass; the XLA fallback is identical.
+    """
+    R = n_rows
+    P_rep, W = row_rep.shape
+    idt = jnp.int16 if W <= 32767 else jnp.int32
+    use_pallas = (
+        idt == jnp.int16
+        and jax.default_backend() != "cpu"
+        and ps_supported(W, P_rep * R)
+    )
+    if use_pallas:
+        rows_exp = jnp.repeat(row_rep.T, R, axis=1)  # [W, P*R]
+        body = onehot_prefix_sums(rows_exp, n_rows=R)
+        return jnp.concatenate(
+            [jnp.zeros((1, P_rep * R), jnp.int16), body], axis=0
+        )
+    oh = (row_rep[..., None] == jnp.arange(R, dtype=jnp.int32))  # [P, W, R]
+    oh = oh.astype(jnp.int32).transpose(1, 0, 2).reshape(W, P_rep * R)
+    return jnp.concatenate(
+        [jnp.zeros((1, P_rep * R), jnp.int32), jnp.cumsum(oh, axis=0)],
+        axis=0,
+    ).astype(idt)  # [W+1, P*R]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub"),
@@ -454,20 +486,33 @@ def hist_clr_reps(t3, bounds, fbar, row_rep,
     row_rep: [P, Wpad] i32 compact row ids per replicate (>= n_rows rows
     vanish from the one-hot).  Returns [P, C, A] f32.
     """
+    ps = build_prefix_sums(row_rep, n_rows=n_rows)
+    return hist_clr_reps_ps(
+        t3, bounds, fbar, ps, n_rep=row_rep.shape[0],
+        n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rep", "n_cells", "n_rows", "n_alpha", "c_sub"),
+)
+def hist_clr_reps_ps(t3, bounds, fbar, ps,
+                     *, n_rep, n_cells, n_rows, n_alpha, c_sub=32):
+    """hist_clr_reps given prebuilt prefix sums ps [W+1, P*R].
+
+    The permutation driver hoists build_prefix_sums out of the per-bucket
+    dispatches: the sigma attribute gather plus the prefix pass cost ~5 ms
+    per replicate slice and are identical for every point bucket of a
+    chromosome.
+    """
     NC, R, A = n_cells, n_rows, n_alpha
-    P_rep, W = row_rep.shape
+    P_rep = n_rep
+    idt = ps.dtype
     # bound the [c_sub, 2, NC+1, P*R] gather temporary: keep c_sub * P_rep
     # around 1k so large replicate batches (small-bucket pruning tails run
     # 256 reps/dispatch) don't blow HBM on the per-chunk slab
     c_sub = min(c_sub, max(2, 1024 // max(P_rep, 1)))
-    # int16 prefix sums where counts (<= W) fit: halves the gather traffic
-    idt = jnp.int16 if W <= 32767 else jnp.int32
-    oh = (row_rep[..., None] == jnp.arange(R, dtype=jnp.int32))  # [P, W, R]
-    oh = oh.astype(jnp.int32).transpose(1, 0, 2).reshape(W, P_rep * R)
-    ps = jnp.concatenate(
-        [jnp.zeros((1, P_rep * R), jnp.int32), jnp.cumsum(oh, axis=0)],
-        axis=0,
-    ).astype(idt)  # [W+1, P*R]
 
     C = bounds.shape[0]
     n_chunks = -(-C // c_sub)

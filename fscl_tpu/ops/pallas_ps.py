@@ -1,0 +1,95 @@
+"""Pallas TPU kernel: replicate-stacked one-hot prefix sums.
+
+The histogram CLR engine (ops/histclr.py) spends a fixed ~2.4 ms per
+permutation dispatch building
+
+    ps[w, p*R + r] = #{w' <= w : row_p(w') == r}     [W, P*R] int16
+
+via XLA one-hot + cumsum (three materialized [W, P*R] temporaries).  This
+kernel fuses the one-hot compare and the running sum into one pass, doing
+the within-tile cumulative sum as ONE lower-triangular f32 matmul on the
+MXU (for a [T, L] tile: tril(ones(T, T)) @ onehot — exact in f32 for
+counts < 2^24) plus a carry row kept in VMEM scratch across the
+sequential grid.  HBM traffic is the theoretical minimum: read the
+expanded row ids once, write the int16 prefix rows once.
+
+Layout contract: the caller pre-expands row ids to one column per
+(replicate, row) pair — rows_expanded[w, p*R + r] = row_p(w) — so the
+kernel is a pure lane-local compare against (lane % R); no in-kernel
+reshape or transpose (Mosaic handles those poorly).  Lanes (P*R) must be
+a multiple of 128; sites W a multiple of the 512-row tile.  The scan
+path's single-replicate builds (8 lanes) stay on the XLA fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas needs a TPU-capable jaxlib; callers gate on ps_supported
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+TILE_W = 512  # sites per grid step (tril matmul is [512, 512] @ [512, L])
+
+
+def ps_supported(w_pad, n_lanes):
+    return (
+        _HAVE_PALLAS
+        and w_pad % TILE_W == 0
+        and n_lanes % 128 == 0
+        and n_lanes <= 4096
+    )
+
+
+def _kernel(n_rows, rows_ref, tril_ref, out_ref, carry_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    lanes = rows_ref.shape[1]
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, lanes), 1) % n_rows
+    oh = jnp.where(rows_ref[...] == r_id, 1.0, 0.0)
+    cs = jax.lax.dot_general(
+        tril_ref[...], oh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    total = cs + carry_ref[...]
+    out_ref[...] = total.astype(jnp.int16)
+    carry_ref[...] = total[TILE_W - 1 : TILE_W, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def onehot_prefix_sums(rows_expanded, *, n_rows, interpret=False):
+    """Inclusive prefix sums of per-lane one-hots; [W, L] i32 -> [W, L] i16.
+
+    rows_expanded[w, p*R + r] must hold row_p(w) (the caller repeats each
+    replicate's row-id column R times); lane l counts sites w' <= w with
+    row == l % n_rows in replicate l // n_rows.  Exclusive-prefix callers
+    prepend a zero row (as with the XLA cumsum path).
+    """
+    W, L = rows_expanded.shape
+    assert W % TILE_W == 0 and L % 128 == 0
+    tril = jnp.asarray(np.tril(np.ones((TILE_W, TILE_W), np.float32)))
+    return pl.pallas_call(
+        functools.partial(_kernel, n_rows),
+        out_shape=jax.ShapeDtypeStruct((W, L), jnp.int16),
+        grid=(W // TILE_W,),
+        in_specs=[
+            pl.BlockSpec((TILE_W, L), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_W, TILE_W), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE_W, L), lambda i: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((1, L), jnp.float32)],
+        interpret=interpret,
+    )(rows_expanded, tril)

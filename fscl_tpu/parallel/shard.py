@@ -85,7 +85,7 @@ def sharded_permute_chunk(
 
 
 def sharded_hist_permute(
-    mesh, stat_fn, sigma, *, rep_axes=("perm", "site"),
+    mesh, stat_fn, sigma, *, rep_axes=("perm", "site"), n_out=None,
 ):
     """Histogram-path permutation chunk: replicates sharded over the mesh.
 
@@ -96,12 +96,16 @@ def sharded_hist_permute(
     statistic matrix and the host concatenates (the exceedance merge happens
     in the host pruning loop, mirroring psum over "perm").
 
-    stat_fn: sigma_local [R_local, N] -> [R_local, n_pts] (a closure over
-    the replicated device arrays, e.g. engine.permute._hist_perm_batch).
+    stat_fn: sigma_local [R_local, N] -> [R_local, n_pts] when n_out is
+    None, else a tuple of n_out such arrays — one per point bucket, all
+    sharing one prefix-sum build (a closure over the replicated device
+    arrays, e.g. the per-chromosome closure in
+    engine.permute._scan_permute_hist).
     sigma [R, N] with R divisible by the product of ``rep_axes`` sizes.
     """
     spec = P(rep_axes)
+    out_specs = spec if n_out is None else tuple(spec for _ in range(n_out))
     f = jax.shard_map(
-        stat_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        stat_fn, mesh=mesh, in_specs=(spec,), out_specs=out_specs,
     )
     return f(sigma)

@@ -1,0 +1,34 @@
+"""Pallas one-hot prefix-sum kernel vs the XLA reference formulation.
+
+Runs in interpret mode (tests force CPU); the compiled kernel is exercised
+on the real TPU by the permutation engine and bench/micro benchmarks.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from fscl_tpu.ops.pallas_ps import TILE_W, onehot_prefix_sums, ps_supported
+
+
+@pytest.mark.parametrize("lanes_mult", [1, 2])
+def test_onehot_prefix_sums_matches_reference(lanes_mult):
+    rng = np.random.default_rng(3)
+    R = 8
+    P = 16 * lanes_mult
+    W = 2 * TILE_W
+    rows = rng.integers(0, R + 1, size=(W, P)).astype(np.int32)  # R = pad
+    rows_exp = np.repeat(rows, R, axis=1)
+    out = np.asarray(
+        onehot_prefix_sums(jnp.asarray(rows_exp), n_rows=R, interpret=True)
+    )
+    oh = (rows[:, :, None] == np.arange(R)).astype(np.int32)
+    ref = np.cumsum(oh.reshape(W, P * R), axis=0).astype(np.int16)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_ps_supported_gates():
+    assert ps_supported(4096, 128)
+    assert not ps_supported(4096 + 1, 128)  # tile misalignment
+    assert not ps_supported(4096, 8)  # single-replicate scan build
+    assert not ps_supported(4096, 8192)  # lane cap

@@ -133,7 +133,7 @@ def test_bucket_compaction_preserves_results(scanned, monkeypatch):
         scan_permute(data, tables, r, scan_cfg, cfg)
         return r
 
-    monkeypatch.setattr(pm, "POINT_BUCKET", 4)  # 10 points -> 3 buckets
+    monkeypatch.setattr(pm, "HIST_POINT_BUCKET", 4)  # 10 points -> 3 buckets
     monkeypatch.setattr(pm, "HIST_COMPACT", False)
     r_plain = run()
     monkeypatch.setattr(pm, "HIST_COMPACT", True)
