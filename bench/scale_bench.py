@@ -68,8 +68,10 @@ def main():
     t0 = time.perf_counter()
     result = scan_genome(data, tables, cfg)
     t1 = time.perf_counter()
-    print(f"scan: {t1 - t0:.1f}s, {result.n_points} points, "
-          f"max CLR {result.clr.max():.1f}")
+    result = scan_genome(data, tables, cfg)
+    t2 = time.perf_counter()
+    print(f"scan: {t1 - t0:.1f}s (warm {t2 - t1:.1f}s), "
+          f"{result.n_points} points, max CLR {result.clr.max():.1f}")
 
     pc = PermuteConfig(
         n_permute=args.perms, chunk_replicates=args.chunk, seed=9

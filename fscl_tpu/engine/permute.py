@@ -41,10 +41,11 @@ import numpy as np
 from ..ops.histclr import (
     HistPoints,
     build_hist_points,
-    build_prefix_sums,
+    build_prefix_sums_oh,
     hist_clr_reps_ps,
     hist_supported,
     make_hist_device_arrays,
+    make_row_onehot_table,
 )
 from ..ops.lattice import LatticeTables, _two_stage_impl
 from ..ops.permute import block_permutation_indices
@@ -461,22 +462,23 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
 
 
-@functools.partial(
-    jax.jit, static_argnames=("start", "n", "w_pad", "n_rows")
-)
-def _perm_ps(row_cg, sigma, *, start, n, w_pad, n_rows):
+@functools.partial(jax.jit, static_argnames=("start", "n", "w_pad"))
+def _perm_ps(oh_table, sigma, *, start, n, w_pad):
     """Permuted-attribute prefix sums [w_pad+1, P*R] for one chromosome.
 
-    The sigma attribute gather plus the one-hot prefix pass are identical
-    for every point bucket, so the driver runs this ONCE per (replicate
-    slice, chromosome) and feeds the result to every bucket's _hist_stat.
+    The permuted one-hot stream is a width-R ROW gather of the genome
+    one-hot table at sigma (the [w, p, r] gather output reshapes to the
+    [w, p*R + r] prefix layout for free), and the gather + prefix pass
+    are identical for every point bucket — the driver runs this ONCE per
+    (replicate slice, chromosome) and feeds every bucket's _hist_stat.
     """
     P_rep = sigma.shape[0]
-    idx = jax.lax.dynamic_slice(sigma, (0, start), (P_rep, n))
-    rows = jnp.pad(
-        row_cg[idx], ((0, 0), (0, w_pad - n)), constant_values=n_rows
-    )  # [P, w_pad]
-    return build_prefix_sums(rows, n_rows=n_rows)
+    Wg = oh_table.shape[0] - 1  # last row = zero padding sentinel
+    R = oh_table.shape[1]
+    idx = jax.lax.dynamic_slice(sigma, (0, start), (P_rep, n)).T  # [n, P]
+    idx = jnp.pad(idx, ((0, w_pad - n), (0, 0)), constant_values=Wg)
+    oh = oh_table[idx]  # [w_pad, P, R] i8 row gather
+    return build_prefix_sums_oh(oh.reshape(w_pad, P_rep * R))
 
 
 @functools.partial(
@@ -507,9 +509,15 @@ def _hist_stat(t3, bounds, fbar, ps,
 def _hist_perm_batch(t3, bounds, fbar, row_cg, sigma,
                      *, n_cells, n_rows, n_alpha, c_sub, start, n, w_pad,
                      n_pts, Jf):
-    """_perm_ps + _hist_stat in one call (micro-benchmarks, single bucket)."""
-    ps = _perm_ps(row_cg, sigma, start=start, n=n, w_pad=w_pad,
-                  n_rows=n_rows)
+    """_perm_ps + _hist_stat in one call (micro-benchmarks, single bucket).
+
+    Takes per-site row ids (row_cg) and builds the one-hot table itself;
+    the production driver holds the table and calls _perm_ps directly.
+    """
+    ps = _perm_ps(
+        make_row_onehot_table(row_cg, n_rows=n_rows), sigma,
+        start=start, n=n, w_pad=w_pad,
+    )
     return _hist_stat(
         t3, bounds, fbar, ps, n_rep=sigma.shape[0], n_cells=n_cells,
         n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub, n_pts=n_pts, Jf=Jf,
@@ -638,6 +646,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     )
     assert ht is not None  # caller gated on hist_supported + geometry
     row_cg = jnp.asarray(ht.row_map[np.asarray(data.row)].astype(np.int32))
+    oh_table = make_row_onehot_table(row_cg, n_rows=ht.n_rows)
     gpos = data.genome_pos()
     width_bp = cfg.scan_width_mb * 1e6
 
@@ -669,8 +678,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             scan_cfg.eval_range, dev_arrays,
         )
         obs_ps = _perm_ps(
-            row_cg, obs_sigma, start=cl.start_index, n=n, w_pad=w_pad,
-            n_rows=ht.n_rows,
+            oh_table, obs_sigma, start=cl.start_index, n=n, w_pad=w_pad,
         )
         for b in buckets:
             obs = _hist_stat(
@@ -822,8 +830,8 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 pad_b = -(-R_pad // sub_b) * sub_b
 
                 def chr_fn(sig, live=live, start=start, n=n, w_pad=w_pad):
-                    ps = _perm_ps(row_cg, sig, start=start, n=n,
-                                  w_pad=w_pad, n_rows=ht.n_rows)
+                    ps = _perm_ps(oh_table, sig, start=start, n=n,
+                                  w_pad=w_pad)
                     return tuple(
                         _hist_stat(
                             ht.t3, b.points.bounds, b.points.fbar, ps,

@@ -46,17 +46,44 @@ def _replicates(key, start, g0, *, n_blocks, n_replicates, width):
     idx = start + jnp.arange(n_replicates, dtype=jnp.uint32)
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
 
+    W = g0.shape[0]
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+
     def one(k):
         k_phase, k_perm = jax.random.split(k)
         phase = jax.random.uniform(k_phase, (), minval=0.0, maxval=width)
         block = ((g0.astype(jnp.float32) + phase) / width).astype(jnp.int32)
-        block = jnp.clip(block, 0, n_blocks - 1)
+        block = jnp.clip(block, 0, n_blocks - 1)  # [W], monotone
         order = jax.random.permutation(k_perm, n_blocks)
-        inv = jnp.zeros(n_blocks, dtype=jnp.int32).at[order].set(
-            jnp.arange(n_blocks, dtype=jnp.int32)
+        # direct construction (no O(W log W) argsort): output slot s holds
+        # the (s - dst_off[j])-th site of block order[j], where j is s's
+        # position in the shuffled block layout.  Identical to the stable
+        # argsort of shuffled block ranks (blocks in `order`, within-block
+        # site order preserved) at ~10x less work for the pruning-tail
+        # chunks that generate hundreds of replicates per round.
+        b_idx = jnp.arange(n_blocks, dtype=jnp.int32)
+        starts = jnp.searchsorted(block, b_idx, side="left").astype(
+            jnp.int32
         )
-        rank = inv[block]
-        return jnp.argsort(rank, stable=True).astype(jnp.int32)
+        ends = jnp.searchsorted(block, b_idx, side="right").astype(
+            jnp.int32
+        )
+        sz_shuf = (ends - starts)[order]
+        dst_off = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(sz_shuf)[:-1]]
+        )  # exclusive prefix into the shuffled output layout
+        # sigma[s] = starts[order[j(s)]] + (s - dst_off[j(s)]) where j(s) is
+        # s's block in the shuffled layout.  val[j] := starts[order[j]] -
+        # dst_off[j] is a per-block step function of s, so sigma = s +
+        # cumsum(scatter of val-deltas at the block offsets) — O(W)
+        # elementwise with one B-sized scatter, no per-site searchsorted
+        # (whose W x log B gathers dominated) and no O(W log W) argsort.
+        # Duplicate offsets (empty blocks) telescope to the last block's
+        # val, exactly matching searchsorted-right semantics.
+        val = starts[order] - dst_off  # [B] i32
+        dval = jnp.diff(val, prepend=jnp.zeros(1, val.dtype))
+        base = jnp.zeros(W, jnp.int32).at[dst_off].add(dval, mode="drop")
+        return jnp.cumsum(base) + w_idx
 
     return jax.vmap(one)(keys)
 
