@@ -756,18 +756,20 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
     # adaptive cadence: once pruning leaves few survivors, the per-chunk
     # fixed costs (sigma program, dispatch round-trips, host updates)
-    # dominate, so the replicate count per chunk grows 4x/16x.  The boost
-    # levels are quantized so each sigma shape compiles once; a memory cap
-    # bounds sigma at ~256 MB.  The boost depends only on the active count,
-    # which is deterministic given the config, so runs stay reproducible.
-    boost_cap = max(1, 64_000_000 // max(len(gpos), 1) // max(R_gen, 1))
+    # dominate, so the replicate count per chunk grows 16x/64x (the
+    # per-dispatch replicate slice stays bounded by ps_rep_cap below, so a
+    # boosted chunk is just MORE dispatches per fixed cost).  Boost levels
+    # are quantized so each sigma shape compiles once; a memory cap bounds
+    # sigma at ~1 GB.  The boost depends only on the active count, which
+    # is deterministic given the config, so runs stay reproducible.
+    boost_cap = max(1, 256_000_000 // max(len(gpos), 1) // max(R_gen, 1))
 
     def _boost(n_act):
         b = 1
-        if n_act <= HIST_POINT_BUCKET // 16:
-            b = 4
-        if n_act <= HIST_POINT_BUCKET // 64:
+        if n_act <= HIST_POINT_BUCKET // 4:
             b = 16
+        if n_act <= HIST_POINT_BUCKET // 16:
+            b = 64
         while b > boost_cap:
             b //= 4
         return max(b, 1)
@@ -826,7 +828,15 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 # the generated sigma); the factor is a power of 4 so each
                 # (rep, bucket) shape compiles once.
                 max_pts = max(b.n_pts for b in live)
-                sub_b = step_now * min(HIST_POINT_BUCKET // max_pts, boost)
+                # per-dispatch replicate slice: enough replicates to fill
+                # the point padding, but bounded so the [w_pad+1, P*R]
+                # int16 prefix buffer stays under ~400 MB
+                ps_rep_cap = max(
+                    1, 200_000_000 // max(w_pad * ht.n_rows, 1) // step_now
+                )
+                sub_b = step_now * min(
+                    HIST_POINT_BUCKET // max_pts, boost, ps_rep_cap
+                )
                 pad_b = -(-R_pad // sub_b) * sub_b
 
                 def chr_fn(sig, live=live, start=start, n=n, w_pad=w_pad):
