@@ -201,19 +201,21 @@ def build_pos_prefix(pos_np):
     )
 
 
-def _block_search(idx_tab, pos_win, qbits, q):
+def _block_search(block_tab, qbits, q):
     """Exact vectorized searchsorted(pos, q, 'left') via block index table.
 
-    idx_tab[b] = #sites with pos < (b << qbits); pos_win[j] = pos[j:j+K]
-    (K-wide contiguous slabs, so the per-query fetch is ONE wide row gather
-    instead of log2(W) scattered gathers).  Exactness needs every qbits
-    block to hold <= K sites (the host builder guarantees it).
+    block_tab[b] = [coarse_b, pos[coarse_b : coarse_b + K]] where coarse_b
+    = #sites with pos < (b << qbits) — the coarse index AND its K-site
+    position slab share one row, so the per-query fetch is ONE wide row
+    gather (instead of log2(W) scattered gathers, or the element gather +
+    row gather pair a separate index table costs).  Exactness needs every
+    qbits block to hold <= K sites (the host builder guarantees it).
     """
-    qb = jnp.clip(q >> qbits, 0, idx_tab.shape[0] - 1)
-    coarse = idx_tab[qb]
-    slab = pos_win[coarse]  # [..., K]
+    qb = jnp.clip(q >> qbits, 0, block_tab.shape[0] - 1)
+    row = block_tab[qb]  # [..., 1 + K]
+    coarse = row[..., 0]
     return coarse + jnp.sum(
-        slab < q[..., None], axis=-1, dtype=jnp.int32
+        row[..., 1:] < q[..., None], axis=-1, dtype=jnp.int32
     )
 
 
@@ -221,7 +223,7 @@ _POINTS_CHUNK = 256  # candidate chunk: bounds the [chunk*NC, K] slab temp
 
 
 @functools.partial(jax.jit, static_argnames=("n_cells", "qbits"))
-def _device_points(pos_i32, ps_hl, d_ceil, idx_tab, pos_win,
+def _device_points(pos_i32, ps_hl, d_ceil, block_tab,
                    cand, lo, hi, sp, *, n_cells, qbits):
     """Run boundaries + run-mean fractions, computed on device.
 
@@ -247,8 +249,8 @@ def _device_points(pos_i32, ps_hl, d_ceil, idx_tab, pos_win,
         cand_c, lo_c, hi_c, sp_c = args
         qL = cand_c[:, None] - d_ceil[None, :] + 1  # [chunk, NC]
         qR = cand_c[:, None] + d_ceil[None, :]
-        BL = _block_search(idx_tab, pos_win, qbits, qL)
-        BR = _block_search(idx_tab, pos_win, qbits, qR)
+        BL = _block_search(block_tab, qbits, qL)
+        BR = _block_search(block_tab, qbits, qR)
         BL = jnp.clip(BL, lo_c[:, None], sp_c[:, None]).astype(jnp.int32)
         BR = jnp.clip(BR, sp_c[:, None], hi_c[:, None] + 1).astype(jnp.int32)
         bounds = jnp.concatenate(
@@ -373,8 +375,8 @@ def make_hist_device_arrays(ht: HistTables, pos_np):
             "disable the hist path for this dataset "
             "(check hist_geometry_ok first)"
         )
-    # K-wide contiguous position slabs, built device-side (the host link is
-    # slow): pos_win[j] = pos[j:j+K] with int32-max tail sentinels
+    # block table rows [coarse_b, pos[coarse_b : coarse_b+K]], built
+    # device-side (the host link is slow); int32-max tail sentinels
     pos_d = jnp.asarray(pos.astype(np.int32))
     pos_ext = jnp.concatenate(
         [pos_d, jnp.full(_SLAB_K, np.iinfo(np.int32).max, jnp.int32)]
@@ -382,14 +384,15 @@ def make_hist_device_arrays(ht: HistTables, pos_np):
     pos_win = jnp.stack(
         [pos_ext[k : k + len(pos) + 1] for k in range(_SLAB_K)], axis=1
     )
+    idx_d = jnp.asarray(idx_tab.astype(np.int32))
+    block_tab = jnp.concatenate([idx_d[:, None], pos_win[idx_d]], axis=1)
     return (
         pos_d,
         ps_hl,
         jnp.asarray(
             np.minimum(d_ceil, np.iinfo(np.int32).max // 2).astype(np.int32)
         ),
-        jnp.asarray(idx_tab.astype(np.int32)),
-        pos_win,
+        block_tab,
         int(qbits),
     )
 
