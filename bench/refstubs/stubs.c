@@ -26,14 +26,3 @@ double gsl_ran_lognormal(gsl_rng *r, double zeta, double sigma) {
 }
 double gsl_ran_gaussian(gsl_rng *r, double sigma) { (void)r; (void)sigma; return 0.0; }
 
-/* ms-input stubs: the -m path is not benchmarked against the stub build */
-typedef void scan_t_opaque;
-void ms_openfile(char *f) { (void)f; fprintf(stderr, "ms input not in stub build\n"); exit(2); }
-void *ms_background(char *f, int a, int b, int c, int d) {
-  (void)f;(void)a;(void)b;(void)c;(void)d;
-  fprintf(stderr, "ms input not in stub build\n"); exit(2);
-}
-void *ms_next_block(int a, int b, int c, int d) {
-  (void)a;(void)b;(void)c;(void)d;
-  fprintf(stderr, "ms input not in stub build\n"); exit(2);
-}
