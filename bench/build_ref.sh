@@ -1,0 +1,35 @@
+#!/bin/sh
+# Build the reference C binaries for benchmarking.
+#
+#   bench/fscl_ref     SNP-file (-f) mode only (stub GSL + ms stubs absent)
+#   bench/fscl_ref_ms  + working ms input (refstubs/msparse.c replaces the
+#                      flex/bison parser absent from this image;
+#                      refstubs/msinput_fixed.c replaces the reference's
+#                      ms-input.c, which never initializes chr_limits and
+#                      crashes as shipped — PARITY.md bug #6)
+#
+# Both binaries get ONE one-line patch, applied to a /tmp copy of
+# scan-chromosome.c (the file at /root/reference is read-only and is never
+# modified): snp_block_permute's overrun branch sets j = n_snps - k with
+# k > n_snps, making j NEGATIVE and swapping out-of-bounds heap memory
+# (PARITY.md bug #7; ASan-verified).  Without the patch the reference
+# corrupts memory every ~100 permutation rounds and eventually segfaults,
+# so no timing run of useful length completes.
+set -e
+cd "$(dirname "$0")/.."
+REF=/root/reference
+PATCHED=/tmp/fscl_ref_patched
+mkdir -p "$PATCHED"
+sed 's/j = n_snps - k;/\/* bench fix: j = n_snps - k made j negative *\//' \
+    "$REF/scan-chromosome.c" > "$PATCHED/scan-chromosome.c"
+
+COMMON="$REF/fscl.c $REF/snp-input.c $REF/background-fsp.c $REF/asc-bias.c
+        $REF/sm-spline.c $REF/sm-search.c $PATCHED/scan-chromosome.c
+        $REF/logmsg.c $REF/cmdline-utils.c bench/refstubs/stubs.c"
+
+gcc -O2 -march=native -fopenmp -I"$REF" -Ibench/refstubs \
+    -o bench/fscl_ref_ms $COMMON \
+    bench/refstubs/msparse.c bench/refstubs/msinput_fixed.c \
+    -lm -lpthread 2>/dev/null
+cp bench/fscl_ref_ms bench/fscl_ref
+echo "built bench/fscl_ref_ms (= bench/fscl_ref)"

@@ -28,19 +28,9 @@ def _build_reference():
         return True
     if not REF_SRC.exists():
         return False
-    srcs = [
-        "fscl.c", "snp-input.c", "background-fsp.c", "asc-bias.c",
-        "sm-spline.c", "sm-search.c", "scan-chromosome.c", "logmsg.c",
-        "cmdline-utils.c",
-    ]
-    cmd = (
-        ["gcc", "-O2", "-fopenmp", f"-I{REF_SRC}", f"-I{REPO}/bench/refstubs",
-         "-o", str(BIN)]
-        + [str(REF_SRC / s) for s in srcs]
-        + [str(REPO / "bench/refstubs/stubs.c"), "-lm", "-lpthread"]
-    )
     try:
-        subprocess.run(cmd, check=True, capture_output=True)
+        subprocess.run(["sh", str(REPO / "bench/build_ref.sh")],
+                       check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
         return False
     return BIN.exists()
