@@ -84,15 +84,15 @@ def gen_ms_neutral():
 
 def gen_ms_sweep():
     path = DATA / "headline_ms_sweep.ms"
+    seg_bp = 5_000_000
     if path.exists():
-        return path
+        return path, seg_bp
     from fscl_tpu.sim.sample import (
         place_sweeps, sample_snps, standard_neutral_spectrum,
     )
 
     rng = np.random.default_rng(12)
     n, blocks = 50, []
-    seg_bp = 5_000_000
     fsp = standard_neutral_spectrum(n)
     for b in range(10):
         spos, salpha = place_sweeps(1, seg_bp, 3e-5)
