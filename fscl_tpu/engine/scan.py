@@ -53,6 +53,13 @@ class ScanConfig:
     # reported CLR/alpha are unchanged up to near-tie argmax selection
     use_hist: bool = True
     hist_alphas: int = 128
+    # refine near-ties re-evaluate exactly only when within this CLR margin
+    # of the interval winner (the hist selection stages carry ~0.2 CLR of
+    # run-mean + decimation interpolation error; 1.0 is a 5x safety factor).
+    # Most intervals have clear winners, so this cuts the exact re-eval
+    # candidate count ~4x on large chromosomes, where per-site window cost
+    # dominates the scan.
+    hist_tie_margin: float = 1.0
     hist_decimate: int = 4  # lattice decimation for the selection stages
     # (ops/histclr.py build_hist_tables), capped so the decimated step
     # stays under ~0.1 log_ad units; winners are re-evaluated exactly.
@@ -339,7 +346,7 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         best_clr = clr[r, jbest]
         best_la = la[r, jbest]
 
-        tie_pos = None
+        tie_pos = tie_clr = None
         if cfg.refine:
             # iterative zoom to bp_resl: re-center on the running winner and
             # shrink the pitch ~8x per round — a batched descent that covers
@@ -362,21 +369,36 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
                 # near-ties of the last refine round: the hist selection
                 # carries O(cell-width^2) interpolation error, so positions
                 # within that error of the winner can hold the true maximum
-                tie_pos = cand2[r[:, None], np.argsort(clr2, axis=1)[:, -3:]]
+                order = np.argsort(clr2, axis=1)[:, -3:]
+                tie_pos = cand2[r[:, None], order]
+                tie_clr = clr2[r[:, None], order]
 
         if hctx is not None:
             # the hist stages are selection-grade; report exact CLR/alpha
-            # from the lattice kernel at the winner plus refine near-ties
-            cx = (
-                np.concatenate([best_pos[:, None], tie_pos], axis=1)
-                if tie_pos is not None else best_pos[:, None]
-            )
-            kx = cx.shape[1]
-            ex_clr, ex_la, *_ = blk.eval_candidates(cx.reshape(-1), cfg, G)
-            jx = np.argmax(ex_clr.reshape(n_int, kx), axis=1)
-            best_pos = cx[r, jx]
-            best_clr = ex_clr.reshape(n_int, kx)[r, jx]
-            best_la = ex_la.reshape(n_int, kx)[r, jx]
+            # from the lattice kernel at the winner, plus refine near-ties
+            # that fall within the hist error margin of the winner (the
+            # per-site exact kernel's cost scales with candidates x window
+            # width, so skipping clear losers matters on large chromosomes)
+            cand_x = [best_pos]
+            owner_x = [r]
+            if tie_pos is not None:
+                near = (
+                    (tie_clr >= (best_clr - cfg.hist_tie_margin)[:, None])
+                    & (tie_pos != best_pos[:, None])
+                )
+                ti, tj = np.nonzero(near)
+                cand_x.append(tie_pos[ti, tj])
+                owner_x.append(ti)
+            cand_x = np.concatenate(cand_x)
+            owner_x = np.concatenate(owner_x)
+            ex_clr, ex_la, *_ = blk.eval_candidates(cand_x, cfg, G)
+            best_clr = np.full(n_int, -np.inf)
+            best_la = np.zeros(n_int)
+            best_pos = np.zeros(n_int, dtype=cand_x.dtype)
+            for k in np.argsort(ex_clr):  # last write wins = max
+                best_clr[owner_x[k]] = ex_clr[k]
+                best_la[owner_x[k]] = ex_la[k]
+                best_pos[owner_x[k]] = cand_x[k]
 
         ns, lo, hi = candidate_windows(blk.pos_np, best_pos, cfg.eval_range)
         out["chr_id"].append(np.full(n_int, c, dtype=np.int32))
