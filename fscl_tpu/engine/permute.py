@@ -760,9 +760,13 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     # per-dispatch replicate slice stays bounded by ps_rep_cap below, so a
     # boosted chunk is just MORE dispatches per fixed cost).  Boost levels
     # are quantized so each sigma shape compiles once; a memory cap bounds
-    # sigma at ~1 GB.  The boost depends only on the active count, which
-    # is deterministic given the config, so runs stay reproducible.
-    boost_cap = max(1, 256_000_000 // max(len(gpos), 1) // max(R_gen, 1))
+    # sigma at ~4 GB (the tunnel pays ~20-25 ms latency per dispatch, so
+    # genome-scale pruning tails — a handful of immortal points spread over
+    # many chromosomes — are dispatch-latency-bound and want the largest
+    # replicate slices HBM allows).  The boost depends only on the active
+    # count, which is deterministic given the config, so runs stay
+    # reproducible.
+    boost_cap = max(1, 1_024_000_000 // max(len(gpos), 1) // max(R_gen, 1))
 
     def _boost(n_act):
         b = 1
@@ -830,9 +834,11 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 max_pts = max(b.n_pts for b in live)
                 # per-dispatch replicate slice: enough replicates to fill
                 # the point padding, but bounded so the [w_pad+1, P*R]
-                # int16 prefix buffer stays under ~400 MB
+                # int16 prefix buffer stays under ~1.6 GB (bigger slices
+                # amortize the per-dispatch tunnel latency that dominates
+                # pruning tails)
                 ps_rep_cap = max(
-                    1, 200_000_000 // max(w_pad * ht.n_rows, 1) // step_now
+                    1, 800_000_000 // max(w_pad * ht.n_rows, 1) // step_now
                 )
                 sub_b = step_now * min(
                     HIST_POINT_BUCKET // max_pts, boost, ps_rep_cap
