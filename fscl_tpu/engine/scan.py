@@ -150,6 +150,35 @@ class _ChromosomeBlock:
         self.null = jnp.asarray(null)
         self.lt = lattice_tables
 
+    def eval_candidates_device(self, cand_flat, cfg, grid_points):
+        """Enqueue the exact three-stage evaluation; returns a [2, P_pad]
+        DEVICE array (clr, lalpha) when it fits in one dispatch, else None
+        (callers fall back to the splitting host path).  Lets scan_genome
+        pipeline every chromosome's exact stage behind one readback."""
+        P_total = len(cand_flat)
+        max_p = max(cfg.dispatch_cap // max(self.w_pad, 1), cfg.chunk)
+        if P_total > max_p:
+            return None
+        clr, la = self._dispatch(cand_flat, cfg)
+        return jnp.stack([clr, la])
+
+    def _dispatch(self, cand_flat, cfg):
+        """One padded two_stage_lattice_max dispatch (device outputs)."""
+        ns, lo, hi = candidate_windows(self.pos_np, cand_flat, cfg.eval_range)
+        P = len(cand_flat)
+        p_pad = _pad_pow2(P, minimum=256)
+        cand_d = np.zeros(p_pad, dtype=np.int32)
+        cand_d[:P] = cand_flat
+        lo_d = np.ones(p_pad, dtype=np.int32)
+        hi_d = np.zeros(p_pad, dtype=np.int32)
+        lo_d[:P] = lo
+        hi_d[:P] = hi
+        return two_stage_lattice_max(
+            self.lt, self.row, self.pos, self.null,
+            jnp.asarray(cand_d), jnp.asarray(lo_d), jnp.asarray(hi_d),
+            chunk=cfg.chunk,
+        )
+
     def eval_candidates(self, cand_flat, cfg, grid_points, row=None, null=None):
         """Three-stage alpha max CLR for a flat candidate array (host I/O).
 
@@ -208,12 +237,11 @@ class _HistScanContext:
         self.dev = make_hist_device_arrays(ht, self.pos_np)
         self.eval_range = cfg.eval_range
 
-    def eval_max(self, cand_flat):
-        """(max-CLR over the dense alpha grid, lalpha) per candidate.
-
-        Selection-grade values (run-mean interpolation, ~1e-2 CLR); final
-        winners get exact re-evaluation by the caller.
-        """
+    def eval_max_device(self, cand_flat):
+        """Enqueue the (max-CLR, lalpha) evaluation; returns a [2, P]
+        DEVICE array so callers can pipeline many chromosomes' dispatches
+        and drain them with ONE host readback (the remote link pays per
+        round trip — per-chromosome syncs serialize device and host)."""
         ht = self.ht
         hp = build_hist_points(
             ht, self.pos_np, cand_flat, self.eval_range,
@@ -227,8 +255,15 @@ class _HistScanContext:
         a = jnp.argmax(clr, axis=1)
         best = jnp.take_along_axis(clr, a[:, None], axis=1)[:, 0]
         la = jnp.asarray(ht.lalpha)[a]
-        # one stacked readback: the remote device link pays per round trip
-        out = np.asarray(jnp.stack([best, la]))
+        return jnp.stack([best, la])
+
+    def eval_max(self, cand_flat):
+        """(max-CLR over the dense alpha grid, lalpha) per candidate.
+
+        Selection-grade values (run-mean interpolation, ~1e-2 CLR); final
+        winners get exact re-evaluation by the caller.
+        """
+        out = np.asarray(self.eval_max_device(cand_flat))
         return out[0], out[1]
 
 
@@ -288,8 +323,53 @@ def refine_positions(best_pos, istart, iend, pitch):
     return cand
 
 
+def _drain(pending):
+    """ONE host readback for a list of [2, P_i] device arrays.
+
+    The remote device link pays per round trip; concatenating every
+    chromosome's pending result device-side and reading back once lets the
+    device pipeline all chromosomes' dispatches instead of sync-stepping."""
+    if not pending:
+        return []
+    if len(pending) == 1:
+        cat = np.asarray(pending[0])
+    else:
+        cat = np.asarray(jnp.concatenate(pending, axis=1))
+    outs, off = [], 0
+    for p in pending:
+        n = p.shape[1]
+        outs.append((cat[0, off : off + n], cat[1, off : off + n]))
+        off += n
+    return outs
+
+
+class _ChrScanState:
+    """Per-chromosome mutable state for the pipelined scan."""
+
+    def __init__(self, c, cl, blk, hctx, cfg):
+        self.c = c
+        self.cl = cl
+        self.blk = blk
+        self.hctx = hctx
+        self.cand, self.valid, self.istart, self.iend = (
+            chromosome_candidates(cl, cfg)
+        )
+        self.n_int, self.J = self.cand.shape
+        self.r = np.arange(self.n_int)
+        self.pending = None
+        self.best_pos = self.best_clr = self.best_la = None
+        self.tie_pos = self.tie_clr = None
+        self.cand2 = None
+        self.cand_x = self.owner_x = None
+
+
 def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
-    """Scan all chromosomes; returns one scan point per coarse interval."""
+    """Scan all chromosomes; returns one scan point per coarse interval.
+
+    All chromosomes advance through each stage (dense grid, refine rounds,
+    exact re-eval) together: a stage enqueues every chromosome's device
+    dispatches, then drains them with one host readback — the device
+    pipelines across chromosomes instead of sync-stepping each one."""
     lattice = lattice or LatticeTables(tables.table, tables.grid_points)
     G = tables.grid_points
 
@@ -315,101 +395,138 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         if cfg.use_hist else None
     )
 
+    states = []
     for c, cl in enumerate(data.chr_limits):
         blk = _ChromosomeBlock(data, cl, lattice)
         hctx = (
             _HistScanContext(hist_ht, data, cl, cfg)
             if hist_ht is not None else None
         )
-        cand, valid, istart, iend = chromosome_candidates(cl, cfg)
-        n_int, J = cand.shape
+        st = _ChrScanState(c, cl, blk, hctx, cfg)
         cr_logmsg(
             MSG_STATUS,
             "Scanning chromosome %s - %d intervals x %d candidates",
             cl.name,
-            n_int,
-            J,
+            st.n_int,
+            st.J,
         )
+        states.append(st)
 
-        def eval_flat(flat):
-            if hctx is not None:
-                return hctx.eval_max(flat)
-            clr_, la_, *_ = blk.eval_candidates(flat, cfg, G)
-            return clr_, la_
+    def eval_stage(get_cand):
+        """Evaluate get_cand(st) for every chromosome, pipelined on the
+        hist path, per-chromosome on the lattice fallback."""
+        flats = [get_cand(st) for st in states]
+        if hist_ht is not None:
+            pend = [
+                st.hctx.eval_max_device(f) for st, f in zip(states, flats)
+            ]
+            return _drain(pend)
+        return [
+            st.blk.eval_candidates(f, cfg, G)[:2]
+            for st, f in zip(states, flats)
+        ]
 
-        clr, la = eval_flat(cand.reshape(-1))
-        clr = np.where(valid.reshape(-1), clr, -np.inf).reshape(n_int, J)
-        la = la.reshape(n_int, J)
+    # dense fine-grid stage
+    for st, (clr, la) in zip(states, eval_stage(
+            lambda st: st.cand.reshape(-1))):
+        clr = np.where(
+            st.valid.reshape(-1), clr, -np.inf
+        ).reshape(st.n_int, st.J)
+        la = la.reshape(st.n_int, st.J)
         jbest = np.argmax(clr, axis=1)
-        r = np.arange(n_int)
-        best_pos = cand[r, jbest]
-        best_clr = clr[r, jbest]
-        best_la = la[r, jbest]
+        st.best_pos = st.cand[st.r, jbest]
+        st.best_clr = clr[st.r, jbest]
+        st.best_la = la[st.r, jbest]
 
-        tie_pos = tie_clr = None
-        if cfg.refine:
-            # iterative zoom to bp_resl: re-center on the running winner and
-            # shrink the pitch ~8x per round — a batched descent that covers
-            # the dyadic positions the reference's greedy bisection explores
-            # (scan-chromosome.c:103-139) and more.
-            pitch = cfg.small_grid_sp
-            while pitch > cfg.bp_resl:
-                pitch = max(pitch // 8, cfg.bp_resl)
-                cand2 = refine_positions(best_pos, istart, iend, pitch)
-                n2 = cand2.shape[1]
-                clr2, la2 = eval_flat(cand2.reshape(-1))
-                clr2 = clr2.reshape(n_int, n2)
-                la2 = la2.reshape(n_int, n2)
+    if cfg.refine:
+        # iterative zoom to bp_resl: re-center on the running winner and
+        # shrink the pitch ~8x per round — a batched descent that covers
+        # the dyadic positions the reference's greedy bisection explores
+        # (scan-chromosome.c:103-139) and more.
+        pitch = cfg.small_grid_sp
+        while pitch > cfg.bp_resl:
+            pitch = max(pitch // 8, cfg.bp_resl)
+
+            def rcand(st, pitch=pitch):
+                st.cand2 = refine_positions(
+                    st.best_pos, st.istart, st.iend, pitch
+                )
+                return st.cand2.reshape(-1)
+
+            for st, (clr2, la2) in zip(states, eval_stage(rcand)):
+                n2 = st.cand2.shape[1]
+                clr2 = clr2.reshape(st.n_int, n2)
+                la2 = la2.reshape(st.n_int, n2)
                 j2 = np.argmax(clr2, axis=1)
-                better = clr2[r, j2] > best_clr
-                best_pos = np.where(better, cand2[r, j2], best_pos)
-                best_la = np.where(better, la2[r, j2], best_la)
-                best_clr = np.where(better, clr2[r, j2], best_clr)
-            if hctx is not None and n2 >= 3:
-                # near-ties of the last refine round: the hist selection
-                # carries O(cell-width^2) interpolation error, so positions
-                # within that error of the winner can hold the true maximum
-                order = np.argsort(clr2, axis=1)[:, -3:]
-                tie_pos = cand2[r[:, None], order]
-                tie_clr = clr2[r[:, None], order]
+                better = clr2[st.r, j2] > st.best_clr
+                st.best_pos = np.where(
+                    better, st.cand2[st.r, j2], st.best_pos
+                )
+                st.best_la = np.where(better, la2[st.r, j2], st.best_la)
+                st.best_clr = np.where(better, clr2[st.r, j2], st.best_clr)
+                if st.hctx is not None and n2 >= 3:
+                    # near-ties of the last refine round: the hist
+                    # selection carries O(cell-width^2) interpolation
+                    # error, so positions within that error of the winner
+                    # can hold the true maximum
+                    order = np.argsort(clr2, axis=1)[:, -3:]
+                    st.tie_pos = st.cand2[st.r[:, None], order]
+                    st.tie_clr = clr2[st.r[:, None], order]
 
-        if hctx is not None:
-            # the hist stages are selection-grade; report exact CLR/alpha
-            # from the lattice kernel at the winner, plus refine near-ties
-            # that fall within the hist error margin of the winner (the
-            # per-site exact kernel's cost scales with candidates x window
-            # width, so skipping clear losers matters on large chromosomes)
-            cand_x = [best_pos]
-            owner_x = [r]
-            if tie_pos is not None:
+    if hist_ht is not None:
+        # the hist stages are selection-grade; report exact CLR/alpha from
+        # the lattice kernel at the winner, plus refine near-ties that fall
+        # within the hist error margin of the winner (the per-site exact
+        # kernel's cost scales with candidates x window width, so skipping
+        # clear losers matters on large chromosomes)
+        pend, sync = [], {}
+        for st in states:
+            cand_x = [st.best_pos]
+            owner_x = [st.r]
+            if st.tie_pos is not None:
                 near = (
-                    (tie_clr >= (best_clr - cfg.hist_tie_margin)[:, None])
-                    & (tie_pos != best_pos[:, None])
+                    (st.tie_clr
+                     >= (st.best_clr - cfg.hist_tie_margin)[:, None])
+                    & (st.tie_pos != st.best_pos[:, None])
                 )
                 ti, tj = np.nonzero(near)
-                cand_x.append(tie_pos[ti, tj])
+                cand_x.append(st.tie_pos[ti, tj])
                 owner_x.append(ti)
-            cand_x = np.concatenate(cand_x)
-            owner_x = np.concatenate(owner_x)
-            ex_clr, ex_la, *_ = blk.eval_candidates(cand_x, cfg, G)
-            best_clr = np.full(n_int, -np.inf)
-            best_la = np.zeros(n_int)
-            best_pos = np.zeros(n_int, dtype=cand_x.dtype)
+            st.cand_x = np.concatenate(cand_x)
+            st.owner_x = np.concatenate(owner_x)
+            dev = st.blk.eval_candidates_device(st.cand_x, cfg, G)
+            if dev is None:  # exceeds the dispatch cap; host-split path
+                sync[st.c] = st.blk.eval_candidates(st.cand_x, cfg, G)[:2]
+                pend.append(jnp.zeros((2, 0), jnp.float32))
+            else:
+                pend.append(dev)
+        for st, (ex_clr, ex_la) in zip(states, _drain(pend)):
+            if st.c in sync:
+                ex_clr, ex_la = sync[st.c]
+            P = len(st.cand_x)
+            ex_clr, ex_la = ex_clr[:P], ex_la[:P]
+            st.best_clr = np.full(st.n_int, -np.inf)
+            st.best_la = np.zeros(st.n_int)
+            st.best_pos = np.zeros(st.n_int, dtype=st.cand_x.dtype)
             for k in np.argsort(ex_clr):  # last write wins = max
-                best_clr[owner_x[k]] = ex_clr[k]
-                best_la[owner_x[k]] = ex_la[k]
-                best_pos[owner_x[k]] = cand_x[k]
+                st.best_clr[st.owner_x[k]] = ex_clr[k]
+                st.best_la[st.owner_x[k]] = ex_la[k]
+                st.best_pos[st.owner_x[k]] = st.cand_x[k]
 
-        ns, lo, hi = candidate_windows(blk.pos_np, best_pos, cfg.eval_range)
-        out["chr_id"].append(np.full(n_int, c, dtype=np.int32))
-        out["sweep_pos"].append(best_pos)
-        out["clr"].append(best_clr)
-        out["lalpha"].append(best_la)
+    for st in states:
+        ns, lo, hi = candidate_windows(
+            st.blk.pos_np, st.best_pos, cfg.eval_range
+        )
+        cl = st.cl
+        out["chr_id"].append(np.full(st.n_int, st.c, dtype=np.int32))
+        out["sweep_pos"].append(st.best_pos)
+        out["clr"].append(st.best_clr)
+        out["lalpha"].append(st.best_la)
         out["nearest"].append(ns + cl.start_index)
         out["window_start"].append(lo + cl.start_index)
         out["window_end"].append(hi + cl.start_index)
-        out["interval_start"].append(istart)
-        out["interval_end"].append(iend)
+        out["interval_start"].append(st.istart)
+        out["interval_end"].append(st.iend)
 
     cat = {k: np.concatenate(v) for k, v in out.items()}
     K = len(cat["sweep_pos"])
