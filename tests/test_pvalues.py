@@ -1,0 +1,60 @@
+"""p-value computation: empirical rule parity + chi-square tail projection.
+
+The empirical rule mirrors scan_output (scan-chromosome.c:718-728); the
+projection implements the README-promised (but unimplemented in C)
+noncentral/scaled chi-square tail fit (README.md:9-13, SURVEY.md section 7).
+"""
+
+import numpy as np
+import pytest
+
+from fscl_tpu.engine.pvalues import (
+    chi2_tail_projection,
+    empirical_pvalues,
+    fit_scaled_chi2,
+)
+
+
+def test_empirical_rule_matches_reference_formula():
+    # scan-chromosome.c:724-728: p = (permute_p-1)/(permute_n-1), or
+    # 1/permute_n when permute_p < 2
+    p = empirical_pvalues([0, 1, 2, 20, 50], [100, 100, 100, 39, 50])
+    assert p[0] == pytest.approx(1 / 100)
+    assert p[1] == pytest.approx(1 / 100)
+    assert p[2] == pytest.approx(1 / 99)
+    assert p[3] == pytest.approx(19 / 38)
+    assert p[4] == pytest.approx(1.0)
+
+
+def test_fit_recovers_scaled_chi2_parameters():
+    rng = np.random.default_rng(0)
+    k_true, df_true = 1.7, 2.4
+    x = k_true * rng.chisquare(df_true, size=20000)
+    frac, k, df = fit_scaled_chi2(x)
+    assert frac == pytest.approx(1.0, abs=1e-3)
+    assert k == pytest.approx(k_true, rel=0.1)
+    assert df == pytest.approx(df_true, rel=0.1)
+
+
+def test_projection_calibrated_against_true_tail():
+    # nulls drawn from a zero-inflated scaled chi-square; the projected
+    # p-value at the empirical 99th percentile must be ~0.01
+    rng = np.random.default_rng(1)
+    mask = rng.random(50000) < 0.6
+    x = np.where(mask, 2.0 * rng.chisquare(3.0, size=50000), 0.0)
+    q99 = np.quantile(x, 0.99)
+    p = chi2_tail_projection(q99, x)
+    assert 0.003 < p < 0.03
+
+    # far tail: projection extends beyond 1/n resolution and decreases
+    p_far = chi2_tail_projection(4 * q99, x)
+    assert 0 < p_far < 1e-5
+
+
+def test_projection_degenerate_cases():
+    assert chi2_tail_projection(5.0, np.zeros(100)) == 0.0
+    assert chi2_tail_projection(0.0, np.zeros(100)) == 1.0
+    assert chi2_tail_projection(1.0, []) in (0.0, 1.0)
+    # tiny positive sample falls back to k=df=1
+    p = chi2_tail_projection(3.0, [0.5, 1.0, 0.2])
+    assert 0.0 <= p <= 1.0
