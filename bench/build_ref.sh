@@ -1,12 +1,11 @@
 #!/bin/sh
-# Build the reference C binaries for benchmarking.
-#
-#   bench/fscl_ref     SNP-file (-f) mode only (stub GSL + ms stubs absent)
-#   bench/fscl_ref_ms  + working ms input (refstubs/msparse.c replaces the
-#                      flex/bison parser absent from this image;
-#                      refstubs/msinput_fixed.c replaces the reference's
-#                      ms-input.c, which never initializes chr_limits and
-#                      crashes as shipped — PARITY.md bug #6)
+# Build the reference C binary for benchmarking (one full build, two
+# names: bench/fscl_ref_ms and its copy bench/fscl_ref, kept for scripts
+# that predate ms support).  Includes stub GSL (refstubs/stubs.c) and
+# working ms input: refstubs/msparse.c replaces the flex/bison parser
+# absent from this image; refstubs/msinput_fixed.c replaces the
+# reference's ms-input.c, which never initializes chr_limits and crashes
+# as shipped (PARITY.md bug #6).
 #
 # Both binaries get ONE one-line patch, applied to a /tmp copy of
 # scan-chromosome.c (the file at /root/reference is read-only and is never
@@ -20,6 +19,12 @@ cd "$(dirname "$0")/.."
 REF=/root/reference
 PATCHED=/tmp/fscl_ref_patched
 mkdir -p "$PATCHED"
+# fail fast if the buggy line drifted — a silent sed no-op would rebuild
+# the heap-corrupting binary with no indication the patch was missing
+grep -q 'j = n_snps - k;' "$REF/scan-chromosome.c" || {
+  echo "build_ref.sh: bug #7 pattern not found in scan-chromosome.c" >&2
+  exit 1
+}
 sed 's/j = n_snps - k;/\/* bench fix: j = n_snps - k made j negative *\//' \
     "$REF/scan-chromosome.c" > "$PATCHED/scan-chromosome.c"
 

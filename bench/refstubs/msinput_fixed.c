@@ -50,6 +50,9 @@ static int append_block(scan_t *s, msblock_t *msb, int n_snps,
                         long offset_bp, int seg_len, int folded,
                         int first, int size) {
   if (size == 0) size = msb->n_haplotypes - first;
+  if (msb->n_poly == 0 || size <= 0) return n_snps; /* empty block: no
+    sites, and registering a depth-0 spectrum row would pollute the
+    background table */
   int m = depth_index(s, size);
   for (int i = 0; i < msb->n_poly; i++) {
     int d = 0;

@@ -38,11 +38,26 @@ msblock_t *msparser_block(void) {
     if (line[0] == '/' && line[1] == '/') break;
   }
   msblock_t *msb = calloc(1, sizeof(msblock_t));
-  long n_poly = 0;
+  long n_poly = -1;
   /* header lines: skip trees, read segsites / prob / positions */
   for (;;) {
+    long fpos = ftell(ms_fp);
     line = read_line();
-    if (!line) { free(msb); return NULL; }
+    if (!line) {
+      /* EOF after "segsites: 0" with no positions line: empty block */
+      if (n_poly == 0) return msb;
+      free(msb);
+      return NULL;
+    }
+    if (line[0] == '/' && line[1] == '/') {
+      /* next block started: only legal after "segsites: 0" (ms emits no
+         positions/haplotypes then) — push it back and return empty */
+      fseek(ms_fp, fpos, SEEK_SET);
+      if (n_poly == 0) return msb;
+      fprintf(stderr, "ms parse: block without positions\n");
+      free(msb);
+      return NULL;
+    }
     if (line[0] == '[' || line[0] == '(') continue; /* marginal trees */
     if (!strncmp(line, "segsites:", 9)) {
       n_poly = strtol(line + 9, NULL, 10);
@@ -53,6 +68,7 @@ msblock_t *msparser_block(void) {
       continue;
     }
     if (!strncmp(line, "positions:", 10)) {
+      if (n_poly < 0) n_poly = 0;
       msb->n_poly = (int)n_poly;
       msb->positions = malloc(sizeof(double) * (n_poly > 0 ? n_poly : 1));
       char *p = line + 10;

@@ -50,10 +50,17 @@ def fit_scaled_chi2(null_clr, eps=1e-6):
 
 
 def chi2_tail_projection(obs_clr, null_clr, eps=1e-6):
-    """Projected tail p-value for one scan point from its null reservoir."""
-    frac, k, df = fit_scaled_chi2(null_clr, eps)
+    """Projected tail p-value for one scan point from its null reservoir.
+
+    A fitted positive tail extrapolates below 1/n resolution (the point of
+    the projection), but a reservoir with NO positive values carries no
+    tail model at all — there the result is floored at 1/(n_null+1)
+    instead of reporting an exact 0 (infinite significance) from a few
+    uninformative permutations."""
+    x = np.asarray(null_clr, dtype=np.float64)
+    frac, k, df = fit_scaled_chi2(x, eps)
     if frac == 0.0:
-        return 0.0 if obs_clr > eps else 1.0
+        return 1.0 / (x.size + 1.0) if obs_clr > eps else 1.0
     tail = stats.chi2.sf(max(obs_clr, 0.0) / k, df)
     return float(frac * tail + (1.0 - frac) * (obs_clr <= eps))
 

@@ -150,7 +150,7 @@ class _ChromosomeBlock:
         self.null = jnp.asarray(null)
         self.lt = lattice_tables
 
-    def eval_candidates_device(self, cand_flat, cfg, grid_points):
+    def eval_candidates_device(self, cand_flat, cfg):
         """Enqueue the exact three-stage evaluation; returns a [2, P_pad]
         DEVICE array (clr, lalpha) when it fits in one dispatch, else None
         (callers fall back to the splitting host path).  Lets scan_genome
@@ -159,51 +159,19 @@ class _ChromosomeBlock:
         max_p = max(cfg.dispatch_cap // max(self.w_pad, 1), cfg.chunk)
         if P_total > max_p:
             return None
-        clr, la = self._dispatch(cand_flat, cfg)
+        clr, la, *_ = self._dispatch(cand_flat, cfg)
         return jnp.stack([clr, la])
 
-    def _dispatch(self, cand_flat, cfg):
-        """One padded two_stage_lattice_max dispatch (device outputs)."""
+    def _dispatch(self, cand_flat, cfg, row=None, null=None):
+        """One padded two_stage_lattice_max dispatch (device outputs).
+
+        Power-of-2 candidate buckets (>= 256) bound the compiled-shape
+        count while keeping small calls small: the winners-only exact
+        re-eval passes ~n_int candidates, and padding those to a fixed
+        4096 made the per-site lattice kernel 20x more expensive than
+        needed (0.8s -> <0.1s on the 20k-site bench)."""
         ns, lo, hi = candidate_windows(self.pos_np, cand_flat, cfg.eval_range)
         P = len(cand_flat)
-        p_pad = _pad_pow2(P, minimum=256)
-        cand_d = np.zeros(p_pad, dtype=np.int32)
-        cand_d[:P] = cand_flat
-        lo_d = np.ones(p_pad, dtype=np.int32)
-        hi_d = np.zeros(p_pad, dtype=np.int32)
-        lo_d[:P] = lo
-        hi_d[:P] = hi
-        return two_stage_lattice_max(
-            self.lt, self.row, self.pos, self.null,
-            jnp.asarray(cand_d), jnp.asarray(lo_d), jnp.asarray(hi_d),
-            chunk=cfg.chunk,
-        )
-
-    def eval_candidates(self, cand_flat, cfg, grid_points, row=None, null=None):
-        """Three-stage alpha max CLR for a flat candidate array (host I/O).
-
-        Splits into multiple dispatches when P x W exceeds cfg.dispatch_cap
-        (long single dispatches can trip TPU-runtime watchdogs).
-        """
-        P_total = len(cand_flat)
-        max_p = max(cfg.dispatch_cap // max(self.w_pad, 1), cfg.chunk)
-        if P_total > max_p:
-            outs = [
-                self.eval_candidates(
-                    cand_flat[i : i + max_p], cfg, grid_points, row=row, null=null
-                )
-                for i in range(0, P_total, max_p)
-            ]
-            return tuple(
-                np.concatenate([o[j] for o in outs]) for j in range(5)
-            )
-        ns, lo, hi = candidate_windows(self.pos_np, cand_flat, cfg.eval_range)
-        P = len(cand_flat)
-        # power-of-2 candidate buckets (>= 256) bound the compiled-shape
-        # count while keeping small calls small: the winners-only exact
-        # re-eval passes ~n_int candidates, and padding those to a fixed
-        # 4096 made the per-site lattice kernel 20x more expensive than
-        # needed (0.8s -> <0.1s on the 20k-site bench)
         p_pad = _pad_pow2(P, minimum=256)
         cand_d = np.zeros(p_pad, dtype=np.int32)
         cand_d[:P] = cand_flat
@@ -221,6 +189,30 @@ class _ChromosomeBlock:
             jnp.asarray(hi_d),
             chunk=cfg.chunk,
         )
+        return clr, la, ns, lo, hi
+
+    def eval_candidates(self, cand_flat, cfg, grid_points=None, row=None,
+                        null=None):
+        """Three-stage alpha max CLR for a flat candidate array (host I/O).
+
+        Splits into multiple dispatches when P x W exceeds cfg.dispatch_cap
+        (long single dispatches can trip TPU-runtime watchdogs).
+        """
+        P_total = len(cand_flat)
+        max_p = max(cfg.dispatch_cap // max(self.w_pad, 1), cfg.chunk)
+        if P_total > max_p:
+            outs = [
+                self.eval_candidates(
+                    cand_flat[i : i + max_p], cfg, row=row, null=null
+                )
+                for i in range(0, P_total, max_p)
+            ]
+            return tuple(
+                np.concatenate([o[j] for o in outs]) for j in range(5)
+            )
+        clr, la, ns, lo, hi = self._dispatch(cand_flat, cfg, row=row,
+                                             null=null)
+        P = len(cand_flat)
         return np.asarray(clr)[:P], np.asarray(la)[:P], ns, lo, hi
 
 
@@ -356,7 +348,6 @@ class _ChrScanState:
         )
         self.n_int, self.J = self.cand.shape
         self.r = np.arange(self.n_int)
-        self.pending = None
         self.best_pos = self.best_clr = self.best_la = None
         self.tie_pos = self.tie_clr = None
         self.cand2 = None
@@ -464,8 +455,8 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
                 )
                 st.best_la = np.where(better, la2[st.r, j2], st.best_la)
                 st.best_clr = np.where(better, clr2[st.r, j2], st.best_clr)
-                if st.hctx is not None and n2 >= 3:
-                    # near-ties of the last refine round: the hist
+                if st.hctx is not None and n2 >= 3 and pitch <= cfg.bp_resl:
+                    # near-ties of the FINAL refine round: the hist
                     # selection carries O(cell-width^2) interpolation
                     # error, so positions within that error of the winner
                     # can hold the true maximum
@@ -494,7 +485,7 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
                 owner_x.append(ti)
             st.cand_x = np.concatenate(cand_x)
             st.owner_x = np.concatenate(owner_x)
-            dev = st.blk.eval_candidates_device(st.cand_x, cfg, G)
+            dev = st.blk.eval_candidates_device(st.cand_x, cfg)
             if dev is None:  # exceeds the dispatch cap; host-split path
                 sync[st.c] = st.blk.eval_candidates(st.cand_x, cfg, G)[:2]
                 pend.append(jnp.zeros((2, 0), jnp.float32))

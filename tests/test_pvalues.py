@@ -52,9 +52,11 @@ def test_projection_calibrated_against_true_tail():
 
 
 def test_projection_degenerate_cases():
-    assert chi2_tail_projection(5.0, np.zeros(100)) == 0.0
+    # all-zero reservoir has no tail model: floored at 1/(n+1), never an
+    # exact 0 (which would print as infinite significance)
+    assert chi2_tail_projection(5.0, np.zeros(100)) == pytest.approx(1 / 101)
     assert chi2_tail_projection(0.0, np.zeros(100)) == 1.0
-    assert chi2_tail_projection(1.0, []) in (0.0, 1.0)
+    assert chi2_tail_projection(1.0, []) == pytest.approx(1.0)
     # tiny positive sample falls back to k=df=1
     p = chi2_tail_projection(3.0, [0.5, 1.0, 0.2])
-    assert 0.0 <= p <= 1.0
+    assert 0.0 < p <= 1.0
