@@ -728,13 +728,16 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     rep_step = HIST_REP_SUB
     if ndev > 1:
         from ..parallel import make_scan_mesh
-        from ..parallel.shard import sharded_hist_permute
+        from ..parallel.shard import (
+            gather_to_host, sharded_hist_permute, to_global,
+        )
 
         mesh = make_scan_mesh()
         rep_step = HIST_REP_SUB * ndev
         logmsg(
             MSG_STATUS,
-            "Permutation replicates sharded over %d devices", ndev,
+            "Permutation replicates sharded over %d devices (%d processes)",
+            ndev, jax.process_count(),
         )
 
     def _progress():
@@ -860,7 +863,10 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
                 outs_slices = [
                     sharded_hist_permute(
-                        mesh, chr_fn, sigma_p[r0 : r0 + sub_b],
+                        mesh, chr_fn,
+                        to_global(mesh, sigma_p[r0 : r0 + sub_b],
+                                  jax.sharding.PartitionSpec(
+                                      ("perm", "site"))),
                         n_out=len(live),
                     )
                     if shard_now
@@ -872,14 +878,16 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             if pending:
                 # concatenate every bucket's [R, n_active] block device-side
                 # and read back ONCE per chunk
-                nm_cat = np.asarray(
-                    jnp.concatenate(
-                        [
-                            jnp.concatenate(outs, axis=0)[:R, : len(b.pts)]
-                            for b, outs in pending
-                        ],
-                        axis=1,
-                    )
+                cat = jnp.concatenate(
+                    [
+                        jnp.concatenate(outs, axis=0)[:R, : len(b.pts)]
+                        for b, outs in pending
+                    ],
+                    axis=1,
+                )
+                nm_cat = (
+                    gather_to_host(cat) if mesh is not None
+                    else np.asarray(cat)
                 )
                 off = 0
                 for b, _ in pending:

@@ -84,6 +84,48 @@ def sharded_permute_chunk(
     return f(sigma, cand, lo, hi, thresholds)
 
 
+def to_global(mesh, arr, spec):
+    """Lift a process-local array to a global sharded jax.Array.
+
+    Multi-process meshes (jax.distributed) require global arrays as
+    shard_map inputs; every process holds the identical full host value
+    (our sigma streams are deterministic in the seed), so each just
+    donates its local shards.  Single-process meshes pass through."""
+    if jax.process_count() == 1:
+        return arr
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), np.asarray(arr)
+    )
+
+
+def gather_to_host(x):
+    """ONE host readback of a (possibly multi-process) device array.
+
+    Single-process: plain np.asarray (works for any local sharding).
+    Multi-process: reshard to fully-replicated (an allgather collective),
+    then read the local copy — every process sees the identical full
+    value, keeping the host-side pruning loop SPMD-identical.  (NOT
+    multihost_utils.process_allgather, which CONCATENATES each process's
+    view of an already-global array and would duplicate rows.)"""
+    import numpy as np
+
+    if jax.process_count() == 1 or x.is_fully_addressable:
+        # unsharded/local results (e.g. a chunk that ran unsharded) are
+        # process-local and deterministic — read directly
+        return np.asarray(x)
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    mesh = x.sharding.mesh
+    rep = jax.jit(
+        lambda a: a, out_shardings=NamedSharding(mesh, P())
+    )(x)
+    return np.asarray(rep.addressable_shards[0].data)
+
+
 def sharded_hist_permute(
     mesh, stat_fn, sigma, *, rep_axes=("perm", "site"), n_out=None,
 ):

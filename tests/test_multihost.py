@@ -111,3 +111,113 @@ def test_two_process_permute_psum(tmp_path):
     e0 = np.load(outs[0])
     e1 = np.load(outs[1])
     np.testing.assert_array_equal(e0, e1)
+
+
+FULL_WORKER = r"""
+import os, sys
+import numpy as np
+
+proc_id = int(sys.argv[1])
+coord = sys.argv[2]
+out_path = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coord, num_processes=2, process_id=proc_id)
+assert len(jax.devices()) == 8, jax.devices()
+
+sys.path.insert(0, {repo!r})
+from tests.test_multihost import _full_pipeline
+
+pn, pp = _full_pipeline()
+np.savez(out_path, pn=pn, pp=pp)
+print("worker", proc_id, "permute_n:", pn[:6], "permute_p:", pp[:6])
+"""
+
+
+def _full_pipeline():
+    """Tiny end-to-end scan + hist permutation; returns (permute_n, permute_p).
+
+    Runs identically on any topology with 8 global devices: the sigma
+    stream derives from absolute replicate indices and the pruning RNG
+    from the config seed, so 1-process x 8-device and 2-process x
+    4-device runs must produce IDENTICAL pruning outcomes.
+    """
+    import numpy as np
+
+    from fscl_tpu.data import build_snp_data
+    from fscl_tpu.engine import (
+        PermuteConfig, ScanConfig, scan_genome, scan_permute,
+    )
+    from fscl_tpu.models import background_fsp, build_tables
+    from fscl_tpu.sim import simulate_dataset
+
+    sim = simulate_dataset(
+        seed=31, sample_size=24, snp_density=1.0, mb_length=2.0,
+        alpha=5e-5, n_sweeps=1,
+    )
+    n = len(sim["pos"])
+    data = build_snp_data(
+        np.full(n, "1"), sim["pos"], sim["freq"], np.full(n, sim["n"]),
+        np.zeros(n, bool),
+    )
+    fsp = background_fsp(
+        data.obs_freq, data.depth_p, data.folded, data.sample_depths
+    )
+    tables = build_tables(fsp, data.sample_depths, grid_points=512)
+    data.attach_model(tables)
+    scan_cfg = ScanConfig(small_grid_sp=10000, large_grid_sp=200000)
+    result = scan_genome(data, tables, scan_cfg)
+    pc = PermuteConfig(n_permute=24, chunk_replicates=16, seed=5)
+    scan_permute(data, tables, result, scan_cfg, pc)
+    return result.permute_n.copy(), result.permute_p.copy()
+
+
+@pytest.mark.skipif(
+    os.environ.get("FSCL_SKIP_MULTIHOST") == "1", reason="disabled"
+)
+def test_two_process_full_permutation_matches_single(tmp_path):
+    """The FULL hist permutation driver over a 2-process global mesh must
+    reproduce the single-process 8-device run exactly (to_global sigma
+    lift + allgather drains keep the host pruning loop SPMD-identical)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker_full.py"
+    script.write_text(FULL_WORKER.format(repo=str(REPO)))
+    procs, outs = [], []
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    for i in range(2):
+        out = tmp_path / f"full{i}.npz"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(i), coord, str(out)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            )
+        )
+    for p in procs:
+        try:
+            rc = p.wait(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("full-pipeline multihost worker timed out")
+        if rc != 0:
+            msg = p.stdout.read().decode()[-3000:]
+            pytest.fail(f"worker failed: {msg}")
+
+    # single-process baseline (8 local virtual devices via conftest)
+    pn_ref, pp_ref = _full_pipeline()
+    a = np.load(outs[0])
+    b = np.load(outs[1])
+    np.testing.assert_array_equal(a["pn"], b["pn"])
+    np.testing.assert_array_equal(a["pp"], b["pp"])
+    np.testing.assert_array_equal(a["pn"], pn_ref)
+    np.testing.assert_array_equal(a["pp"], pp_ref)
