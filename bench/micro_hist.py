@@ -57,9 +57,13 @@ def main():
     bounds = jnp.asarray(b.astype(np.int32))
     fbar = jnp.asarray(rng.random((N_PTS * JF, 2, NC)).astype(np.float32))
     row_cg = jnp.asarray(rng.integers(0, 3, size=WP).astype(np.int32))
-    sigma = jnp.asarray(
-        np.stack([rng.permutation(W) for _ in range(REP)]).astype(np.int32)
-    )
+    # GROUP-level sigma (ops/permute.py PERM_GROUP): random permutation of
+    # 8-site groups, sentinel-padded for the _perm_ps slice window
+    Gn = W // 8
+    sigma = jnp.asarray(np.concatenate([
+        np.stack([rng.permutation(Gn) for _ in range(REP)]),
+        np.full((REP, WP // 8 + 2 - Gn), Gn),
+    ], axis=1).astype(np.int32))
 
     t = timeit(
         P._hist_perm_batch, t3, bounds, fbar, row_cg, sigma,

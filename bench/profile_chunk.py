@@ -57,8 +57,8 @@ def main():
     result = scan_genome(data, tables, scan_cfg)
 
     # --- instrument ---
-    P.block_permutation_indices = _timed(
-        "sigma_gen", P.block_permutation_indices,
+    P.block_permutation_groups = _timed(
+        "sigma_gen", P.block_permutation_groups,
         sync=lambda r: np.asarray(r[:1, :1]),
     )
     P._hist_perm_batch = _timed(

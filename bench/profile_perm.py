@@ -35,7 +35,7 @@ def main():
     from fscl_tpu.models import background_fsp, build_tables
     from fscl_tpu.ops.histclr import build_hist_tables
     from fscl_tpu.ops.lattice import LatticeTables
-    from fscl_tpu.ops.permute import block_permutation_indices
+    from fscl_tpu.ops.permute import block_permutation_groups
 
     data = load_snp_input(str(REPO / "bench" / "data" / "bench_20k.sf"))
     fsp = background_fsp(
@@ -79,7 +79,11 @@ def main():
     row_cg = jnp.asarray(ht.row_map[row].astype(np.int32))
     gpos = data.genome_pos()
     key = jax.random.key(3)
-    sigma = block_permutation_indices(key, gpos, 1e6, HIST_REP_SUB)
+    sigma = block_permutation_groups(key, gpos, 1e6, HIST_REP_SUB)
+    n_groups = -(-len(gpos) // 8)
+    sigma = jnp.concatenate(
+        [sigma, jnp.full((HIST_REP_SUB, w_pad // 8 + 2), n_groups,
+                         sigma.dtype)], axis=1)
 
     def hist_call():
         return _hist_perm_batch(

@@ -45,10 +45,14 @@ from ..ops.histclr import (
     hist_clr_reps_ps,
     hist_supported,
     make_hist_device_arrays,
-    make_row_onehot_table,
+    make_row_onehot_group_table,
 )
 from ..ops.lattice import LatticeTables, _two_stage_impl
-from ..ops.permute import block_permutation_indices
+from ..ops.permute import (
+    PERM_GROUP,
+    block_permutation_groups,
+    block_permutation_indices,
+)
 from ..ops.windows import candidate_windows
 from ..utils import MSG_STATUS, MSG_WARN, cr_logmsg, logmsg
 from .scan import _pad_pow2, _pad_sites
@@ -463,21 +467,38 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("start", "n", "w_pad"))
-def _perm_ps(oh_table, sigma, *, start, n, w_pad):
+def _perm_ps(oh8_table, sigma8, *, start, n, w_pad):
     """Permuted-attribute prefix sums [w_pad+1, P*R] for one chromosome.
 
-    The permuted one-hot stream is a width-R ROW gather of the genome
-    one-hot table at sigma (the [w, p, r] gather output reshapes to the
-    [w, p*R + r] prefix layout for free), and the gather + prefix pass
-    are identical for every point bucket — the driver runs this ONCE per
-    (replicate slice, chromosome) and feeds every bucket's _hist_stat.
+    The permuted one-hot stream is a GROUP-level row gather of the packed
+    genome table (make_row_onehot_group_table) at sigma8
+    (block_permutation_groups): block boundaries quantize to
+    PERM_GROUP-site multiples, so each gathered row is PERM_GROUP
+    consecutive sites' one-hots — PERM_GROUP x fewer gather rows than the
+    per-site gather it replaces, at the same total bytes.  The gather +
+    prefix pass are identical for every point bucket — the driver runs
+    this ONCE per (replicate slice, chromosome) and feeds every bucket's
+    _hist_stat.  sigma8 must be sentinel-padded by the caller so the
+    slice [start//G, start//G + w_pad//G + 1) stays in bounds.
     """
-    P_rep = sigma.shape[0]
-    Wg = oh_table.shape[0] - 1  # last row = zero padding sentinel
-    R = oh_table.shape[1]
-    idx = jax.lax.dynamic_slice(sigma, (0, start), (P_rep, n)).T  # [n, P]
-    idx = jnp.pad(idx, ((0, w_pad - n), (0, 0)), constant_values=Wg)
-    oh = oh_table[idx]  # [w_pad, P, R] i8 row gather
+    from ..ops.permute import PERM_GROUP
+
+    P_rep = sigma8.shape[0]
+    GR = oh8_table.shape[1]
+    R = GR // PERM_GROUP
+    g0 = start // PERM_GROUP
+    off = start - g0 * PERM_GROUP
+    G_loc = w_pad // PERM_GROUP + 1
+    idx8 = jax.lax.dynamic_slice(
+        sigma8, (0, g0), (P_rep, G_loc)
+    ).T  # [G_loc, P]
+    oh = oh8_table[idx8]  # [G_loc, P, G*R] i8 row gather
+    oh = oh.reshape(G_loc, P_rep, PERM_GROUP, R).transpose(0, 2, 1, 3)
+    oh = oh.reshape(G_loc * PERM_GROUP, P_rep, R)[off : off + w_pad]
+    # zero sites >= n: trailing groups can carry neighbor-chromosome or
+    # sentinel-tail attributes
+    mask = (jnp.arange(w_pad, dtype=jnp.int32) < n)[:, None, None]
+    oh = jnp.where(mask, oh, jnp.int8(0))
     return build_prefix_sums_oh(oh.reshape(w_pad, P_rep * R))
 
 
@@ -506,20 +527,22 @@ def _hist_stat(t3, bounds, fbar, ps,
     return clr.reshape(n_rep, n_pts, Jf * n_alpha).max(axis=2)
 
 
-def _hist_perm_batch(t3, bounds, fbar, row_cg, sigma,
+def _hist_perm_batch(t3, bounds, fbar, row_cg, sigma8,
                      *, n_cells, n_rows, n_alpha, c_sub, start, n, w_pad,
                      n_pts, Jf):
     """_perm_ps + _hist_stat in one call (micro-benchmarks, single bucket).
 
-    Takes per-site row ids (row_cg) and builds the one-hot table itself;
-    the production driver holds the table and calls _perm_ps directly.
+    Takes per-site row ids (row_cg) and builds the packed group table
+    itself; sigma8 is GROUP-level (block_permutation_groups) and must
+    already carry the sentinel padding _perm_ps needs.  The production
+    driver holds the table and calls _perm_ps directly.
     """
     ps = _perm_ps(
-        make_row_onehot_table(row_cg, n_rows=n_rows), sigma,
+        make_row_onehot_group_table(row_cg, n_rows=n_rows), sigma8,
         start=start, n=n, w_pad=w_pad,
     )
     return _hist_stat(
-        t3, bounds, fbar, ps, n_rep=sigma.shape[0], n_cells=n_cells,
+        t3, bounds, fbar, ps, n_rep=sigma8.shape[0], n_cells=n_cells,
         n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub, n_pts=n_pts, Jf=Jf,
     )
 
@@ -646,9 +669,34 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     )
     assert ht is not None  # caller gated on hist_supported + geometry
     row_cg = jnp.asarray(ht.row_map[np.asarray(data.row)].astype(np.int32))
-    oh_table = make_row_onehot_table(row_cg, n_rows=ht.n_rows)
+    oh_table = make_row_onehot_group_table(row_cg, n_rows=ht.n_rows)
     gpos = data.genome_pos()
     width_bp = cfg.scan_width_mb * 1e6
+    n_groups = oh_table.shape[0] - 1  # sentinel row index
+    # sigma sentinel margin: _perm_ps slices [start//G, start//G + w_pad//G
+    # + 1) — pad group columns so every chromosome's slice stays in bounds
+    margin = 2 + max(
+        (
+            cl.start_index // PERM_GROUP
+            + _pad_sites(cl.n_snps) // PERM_GROUP
+            + 1
+            - n_groups
+            for cl in data.chr_limits
+        ),
+        default=2,
+    )
+    margin = max(margin, 2)
+
+    def _pad_sigma(sig8):
+        return jnp.concatenate(
+            [
+                sig8,
+                jnp.full(
+                    (sig8.shape[0], margin), n_groups, sig8.dtype
+                ),
+            ],
+            axis=1,
+        )
 
     K = result.n_points
     for i in range(K):
@@ -662,7 +710,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     _t0 = _time.monotonic()
     threshold = np.zeros(K)
     chr_buckets = []  # (start, n, w_pad, [buckets])
-    obs_sigma = jnp.arange(len(gpos), dtype=jnp.int32)[None, :]
+    obs_sigma = _pad_sigma(jnp.arange(n_groups, dtype=jnp.int32)[None, :])
     obs_pending = []  # (bucket, device stat) — drained once, below
     for c, cl in enumerate(data.chr_limits):
         pts = np.where(result.chr_id == c)[0]
@@ -769,7 +817,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     # replicate slices HBM allows).  The boost depends only on the active
     # count, which is deterministic given the config, so runs stay
     # reproducible.
-    boost_cap = max(1, 1_024_000_000 // max(len(gpos), 1) // max(R_gen, 1))
+    boost_cap = max(1, 1_024_000_000 // max(n_groups, 1) // max(R_gen, 1))
 
     def _boost(n_act):
         b = 1
@@ -792,9 +840,9 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             shard_now = mesh is not None and -(-R // rep_step) * rep_step <= 2 * R
             step_now = rep_step if shard_now else HIST_REP_SUB
             R_pad = -(-R // step_now) * step_now
-            sigma_p = block_permutation_indices(
+            sigma_p = _pad_sigma(block_permutation_groups(
                 key0, gpos, width_bp, R_gen * boost, start=rounds_done
-            )
+            ))
 
             pending = []  # (bucket, [device stats]) — drained after ALL
             # dispatches are enqueued: buckets hold disjoint points, so the

@@ -461,6 +461,30 @@ def make_row_onehot_table(row_compact, *, n_rows):
     return jnp.pad(oh, ((0, 1), (0, 0)))
 
 
+def make_row_onehot_group_table(row_compact, *, n_rows):
+    """[G+1, PERM_GROUP*n_rows] i8 one-hot table packed PERM_GROUP sites
+    per row (G = ceil(W / PERM_GROUP)).
+
+    Block-permutation boundaries quantize to PERM_GROUP-site multiples
+    (ops/permute.py), so the permuted one-hot stream is a GROUP-level row
+    gather of this table — PERM_GROUP x fewer gather rows at the same
+    total bytes (row gathers run at a fixed rows/s nearly independent of
+    row width).  Row G is the all-zero padding sentinel; tail sites past
+    W are zero.
+    """
+    from .permute import PERM_GROUP
+
+    W = row_compact.shape[0]
+    G = -(-W // PERM_GROUP) if W else 1
+    oh = (
+        row_compact[:, None] == jnp.arange(n_rows, dtype=jnp.int32)
+    ).astype(jnp.int8)
+    oh = jnp.pad(oh, ((0, G * PERM_GROUP - W), (0, 0)))
+    return jnp.pad(
+        oh.reshape(G, PERM_GROUP * n_rows), ((0, 1), (0, 0))
+    )
+
+
 def build_prefix_sums_oh(oh2d):
     """[W+1, L] prefix sums of a [W, L] i8 one-hot stream.
 
@@ -469,12 +493,8 @@ def build_prefix_sums_oh(oh2d):
     """
     W, L = oh2d.shape
     idt = jnp.int16 if W <= 32767 else jnp.int32
-    if (
-        idt == jnp.int16
-        and jax.default_backend() != "cpu"
-        and ps_supported(W, L)
-    ):
-        body = onehot_prefix_sums(oh2d)
+    if jax.default_backend() != "cpu" and ps_supported(W, L):
+        body = onehot_prefix_sums(oh2d, out_dtype=idt)
     else:
         body = jnp.cumsum(oh2d.astype(jnp.int32), axis=0).astype(idt)
     return jnp.concatenate([jnp.zeros((1, L), body.dtype), body], axis=0)
@@ -493,13 +513,12 @@ def build_prefix_sums(row_rep, *, n_rows):
     P_rep, W = row_rep.shape
     idt = jnp.int16 if W <= 32767 else jnp.int32
     use_pallas = (
-        idt == jnp.int16
-        and jax.default_backend() != "cpu"
+        jax.default_backend() != "cpu"
         and ps_supported(W, P_rep * R)
     )
     if use_pallas:
         rows_exp = jnp.repeat(row_rep.T, R, axis=1)  # [W, P*R]
-        body = onehot_prefix_sums(rows_exp, n_rows=R)
+        body = onehot_prefix_sums(rows_exp, n_rows=R, out_dtype=idt)
         return jnp.concatenate(
             [jnp.zeros((1, P_rep * R), jnp.int16), body], axis=0
         )

@@ -3,22 +3,26 @@
 The histogram CLR engine (ops/histclr.py) spends a fixed ~2.4 ms per
 permutation dispatch building
 
-    ps[w, p*R + r] = #{w' <= w : row_p(w') == r}     [W, P*R] int16
+    ps[w, p*R + r] = #{w' <= w : row_p(w') == r}     [W, P*R] int
 
-via XLA one-hot + cumsum (three materialized [W, P*R] temporaries).  This
-kernel fuses the one-hot compare and the running sum into one pass, doing
-the within-tile cumulative sum as ONE lower-triangular f32 matmul on the
-MXU (for a [T, L] tile: tril(ones(T, T)) @ onehot — exact in f32 for
-counts < 2^24) plus a carry row kept in VMEM scratch across the
-sequential grid.  HBM traffic is the theoretical minimum: read the
-expanded row ids once, write the int16 prefix rows once.
+via XLA one-hot + cumsum (a log-depth scan with ~2*log2(W) materialized
+[W, P*R] passes).  This kernel fuses the one-hot compare and the running
+sum into one pass, doing the within-tile cumulative sum as ONE
+lower-triangular f32 matmul on the MXU (for a [T, L] tile:
+tril(ones(T, T)) @ onehot — exact in f32 for counts < 2^24) plus a carry
+row kept in VMEM scratch across the sequential site grid.  HBM traffic is
+the theoretical minimum: read the expanded row ids once, write the
+prefix rows once.
 
 Layout contract: the caller pre-expands row ids to one column per
 (replicate, row) pair — rows_expanded[w, p*R + r] = row_p(w) — so the
 kernel is a pure lane-local compare against (lane % R); no in-kernel
 reshape or transpose (Mosaic handles those poorly).  Lanes (P*R) must be
-a multiple of 128; sites W a multiple of the 512-row tile.  The scan
-path's single-replicate builds (8 lanes) stay on the XLA fallback.
+a multiple of 128; sites W a multiple of the 512-row tile.  Wide lane
+counts block over a second grid axis (TILE_L lanes per step), so any
+width fits VMEM; output is int16 or int32 (int32 for chromosomes longer
+than 32767 sites, where prefix values overflow int16).  The scan path's
+single-replicate builds (8 lanes) stay on the XLA fallback.
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 TILE_W = 512  # sites per grid step (tril matmul is [512, 512] @ [512, L])
+TILE_L = 2048  # lanes per grid step (bounds VMEM: ~1 MB oh + 4 MB f32 sum)
 
 
 def ps_supported(w_pad, n_lanes):
@@ -45,14 +50,14 @@ def ps_supported(w_pad, n_lanes):
         _HAVE_PALLAS
         and w_pad % TILE_W == 0
         and n_lanes % 128 == 0
-        and n_lanes <= 4096
+        and (n_lanes <= TILE_L or n_lanes % TILE_L == 0)
     )
 
 
-def _kernel(n_rows, rows_ref, tril_ref, out_ref, carry_ref):
-    i = pl.program_id(0)
+def _kernel(n_rows, out_dtype, rows_ref, tril_ref, out_ref, carry_ref):
+    j = pl.program_id(1)  # site-tile index (innermost grid axis)
 
-    @pl.when(i == 0)
+    @pl.when(j == 0)
     def _init():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
@@ -70,35 +75,42 @@ def _kernel(n_rows, rows_ref, tril_ref, out_ref, carry_ref):
         preferred_element_type=jnp.float32,
     )
     total = cs + carry_ref[...]
-    out_ref[...] = total.astype(jnp.int16)
+    out_ref[...] = total.astype(out_dtype)
     carry_ref[...] = total[TILE_W - 1 : TILE_W, :]
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
-def onehot_prefix_sums(rows_expanded, *, n_rows=None, interpret=False):
-    """Inclusive prefix sums of per-lane one-hots; [W, L] -> [W, L] i16.
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "out_dtype", "interpret")
+)
+def onehot_prefix_sums(rows_expanded, *, n_rows=None, out_dtype=jnp.int16,
+                       interpret=False):
+    """Inclusive prefix sums of per-lane one-hots; [W, L] -> [W, L] int.
 
     With n_rows set, rows_expanded[w, p*R + r] holds row_p(w) as i32 (the
     caller repeats each replicate's row-id column R times) and lane l
     counts sites w' <= w with row == l % n_rows in replicate l // n_rows.
     With n_rows=None, rows_expanded is ALREADY the 0/1 one-hot (i8) — the
-    permutation driver produces it directly as a width-R table row gather,
+    permutation driver produces it directly as a group-table row gather,
     which runs at the TPU's row-gather rate instead of the ~3x slower
     per-element rate.  Exclusive-prefix callers prepend a zero row (as
     with the XLA cumsum path).
     """
     W, L = rows_expanded.shape
     assert W % TILE_W == 0 and L % 128 == 0
+    tile_l = L if L <= TILE_L else TILE_L
+    assert L % tile_l == 0
     tril = jnp.asarray(np.tril(np.ones((TILE_W, TILE_W), np.float32)))
     return pl.pallas_call(
-        functools.partial(_kernel, n_rows),
-        out_shape=jax.ShapeDtypeStruct((W, L), jnp.int16),
-        grid=(W // TILE_W,),
+        functools.partial(_kernel, n_rows, out_dtype),
+        out_shape=jax.ShapeDtypeStruct((W, L), out_dtype),
+        # lanes on the OUTER axis, sites inner: the carry row persists
+        # across the sequential site walk of each lane block
+        grid=(L // tile_l, W // TILE_W),
         in_specs=[
-            pl.BlockSpec((TILE_W, L), lambda i: (i, 0)),
-            pl.BlockSpec((TILE_W, TILE_W), lambda i: (0, 0)),
+            pl.BlockSpec((TILE_W, tile_l), lambda i, j: (j, i)),
+            pl.BlockSpec((TILE_W, TILE_W), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((TILE_W, L), lambda i: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((1, L), jnp.float32)],
+        out_specs=pl.BlockSpec((TILE_W, tile_l), lambda i, j: (j, i)),
+        scratch_shapes=[pltpu.VMEM((1, tile_l), jnp.float32)],
         interpret=interpret,
     )(rows_expanded, tril)

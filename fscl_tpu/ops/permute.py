@@ -36,13 +36,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+PERM_GROUP = 8  # sites per permutation group: block boundaries quantize to
+# multiples of this, so sigma is GROUP-level — the permuted one-hot gather
+# fetches PERM_GROUP-site-wide rows (8x fewer rows at the same bytes; row
+# gathers run at a fixed rows/s nearly independent of width), and sigma
+# arrays shrink 8x.  Blocks are ~10^3 sites, so shifting their boundaries
+# by <8 sites is statistically immaterial (PARITY.md deviations).
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_blocks", "n_replicates", "width")
 )
 def _replicates(key, start, g0, *, n_blocks, n_replicates, width):
     # replicate i's key depends only on its ABSOLUTE index start+i, never on
     # how the driver chunks replicates: checkpoint resume, adaptive chunk
-    # boosting, and device sharding all replay the identical stream
+    # boosting, and device sharding all replay the identical stream.
+    # g0 holds each GROUP's first-site genome position; the final entry may
+    # be a partial tail group — it gets the dedicated pinned block id
+    # n_blocks (appended, never shuffled), so group expansion stays within
+    # the real site range.
     idx = start + jnp.arange(n_replicates, dtype=jnp.uint32)
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
 
@@ -53,8 +65,14 @@ def _replicates(key, start, g0, *, n_blocks, n_replicates, width):
         k_phase, k_perm = jax.random.split(k)
         phase = jax.random.uniform(k_phase, (), minval=0.0, maxval=width)
         block = ((g0.astype(jnp.float32) + phase) / width).astype(jnp.int32)
-        block = jnp.clip(block, 0, n_blocks - 1)  # [W], monotone
-        order = jax.random.permutation(k_perm, n_blocks)
+        block = jnp.clip(block, 0, n_blocks - 2)  # [W], monotone
+        block = block.at[-1].set(n_blocks - 1)  # pinned tail block
+        order = jnp.concatenate(
+            [
+                jax.random.permutation(k_perm, n_blocks - 1),
+                jnp.full((1,), n_blocks - 1, jnp.int32),
+            ]
+        )
         # direct construction (no O(W log W) argsort): output slot s holds
         # the (s - dst_off[j])-th site of block order[j], where j is s's
         # position in the shuffled block layout.  Identical to the stable
@@ -88,38 +106,77 @@ def _replicates(key, start, g0, *, n_blocks, n_replicates, width):
     return jax.vmap(one)(keys)
 
 
-# device copies of the caller's host gpos arrays, keyed by identity: the
-# permutation drivers pass the same genome_pos() array every chunk, and the
-# host link is slow (~1.5 MB/s) — re-uploading [W] coordinates each chunk
-# would dominate sigma generation
+# device copies of the caller's host gpos arrays (group first-site
+# positions), keyed by identity: the permutation drivers pass the same
+# genome_pos() array every chunk, and the host link is slow (~1.5 MB/s) —
+# re-uploading coordinates each chunk would dominate sigma generation
 _gpos_cache: dict = {}
 
 
-def block_permutation_indices(key, gpos, width_bp, n_replicates, start=0):
-    """Gather indices sigma [R, W]: permuted_attr = attr[sigma[r]].
-
-    gpos: [W] genome-wide monotone bp coordinates (chromosome offsets added).
-    width_bp: minimum block span (scan_width_mb * 1e6).
-    start: absolute index of the first replicate; row r is a pure function of
-    (key, start + r), so any chunking of the replicate stream reproduces it.
-    """
+def _group_first_positions(gpos):
+    """[G] first-site genome position of each PERM_GROUP-site group."""
     if isinstance(gpos, jax.Array):
-        g0 = gpos - gpos[0]
+        g0 = (gpos - gpos[0])[::PERM_GROUP]
         span = int(gpos[-1]) - int(gpos[0]) if gpos.shape[0] else 0
-    else:
-        gpos = np.asarray(gpos)
-        span = int(gpos[-1]) - int(gpos[0]) if gpos.shape[0] else 0
-        ck = (id(gpos), gpos.shape[0])
-        if ck not in _gpos_cache:
-            if len(_gpos_cache) > 64:
-                _gpos_cache.clear()
-            _gpos_cache[ck] = jnp.asarray(
-                (gpos - (gpos[0] if len(gpos) else 0)).astype(np.int32)
+        return g0, span
+    gpos = np.asarray(gpos)
+    span = int(gpos[-1]) - int(gpos[0]) if gpos.shape[0] else 0
+    ck = (id(gpos), gpos.shape[0])
+    if ck not in _gpos_cache:
+        if len(_gpos_cache) > 64:
+            _gpos_cache.clear()
+        _gpos_cache[ck] = jnp.asarray(
+            (gpos[::PERM_GROUP] - (gpos[0] if len(gpos) else 0)).astype(
+                np.int32
             )
-        g0 = _gpos_cache[ck]
-    n_blocks = max(int(span // width_bp) + 2, 1)
+        )
+    return _gpos_cache[ck], span
+
+
+def block_permutation_groups(key, gpos, width_bp, n_replicates, start=0):
+    """GROUP-level gather indices sigma8 [R, G], G = ceil(W / PERM_GROUP).
+
+    Site-level semantics: sigma[w] = PERM_GROUP * sigma8[w // PERM_GROUP]
+    + (w % PERM_GROUP) — every aligned PERM_GROUP-site run of outputs takes
+    a consecutive run of inputs, because block boundaries are quantized to
+    group multiples.  The final (possibly partial) group is pinned in
+    place, so the expansion never exceeds the real site count.
+
+    gpos: [W] genome-wide monotone bp coordinates (chromosome offsets
+    added).  width_bp: minimum block span (scan_width_mb * 1e6).  start:
+    absolute index of the first replicate; row r is a pure function of
+    (key, start + r), so any chunking of the replicate stream reproduces
+    it.
+    """
+    g0, span = _group_first_positions(gpos)
+    # +1 for the dedicated pinned tail block
+    n_blocks = max(int(span // width_bp) + 2, 1) + 1
     return _replicates(
         key, jnp.uint32(start), g0,
         n_blocks=n_blocks, n_replicates=int(n_replicates),
         width=float(width_bp),
+    )
+
+
+def expand_group_sigma(sigma8, n_sites):
+    """Site-level sigma [R, n_sites] from group-level sigma8 [R, G]."""
+    R, G = sigma8.shape
+    k = jnp.arange(PERM_GROUP, dtype=sigma8.dtype)
+    full = (
+        sigma8[:, :, None] * PERM_GROUP + k[None, None, :]
+    ).reshape(R, G * PERM_GROUP)
+    return full[:, :n_sites]
+
+
+def block_permutation_indices(key, gpos, width_bp, n_replicates, start=0):
+    """Site-level gather indices sigma [R, W]: permuted = attr[sigma[r]].
+
+    Thin expansion of block_permutation_groups for consumers that gather
+    per site (the lattice fallback path, tests); the histogram fast path
+    consumes the group form directly.
+    """
+    n = gpos.shape[0] if hasattr(gpos, "shape") else len(gpos)
+    return expand_group_sigma(
+        block_permutation_groups(key, gpos, width_bp, n_replicates, start),
+        int(n),
     )

@@ -31,4 +31,5 @@ def test_ps_supported_gates():
     assert ps_supported(4096, 128)
     assert not ps_supported(4096 + 1, 128)  # tile misalignment
     assert not ps_supported(4096, 8)  # single-replicate scan build
-    assert not ps_supported(4096, 8192)  # lane cap
+    assert ps_supported(4096, 8192)  # wide lanes block over the 2nd grid axis
+    assert not ps_supported(4096, 2048 + 128)  # non-multiple of the lane tile
