@@ -520,7 +520,7 @@ def build_prefix_sums(row_rep, *, n_rows):
         rows_exp = jnp.repeat(row_rep.T, R, axis=1)  # [W, P*R]
         body = onehot_prefix_sums(rows_exp, n_rows=R, out_dtype=idt)
         return jnp.concatenate(
-            [jnp.zeros((1, P_rep * R), jnp.int16), body], axis=0
+            [jnp.zeros((1, P_rep * R), body.dtype), body], axis=0
         )
     oh = (row_rep[..., None] == jnp.arange(R, dtype=jnp.int32))  # [P, W, R]
     oh = oh.astype(jnp.int32).transpose(1, 0, 2).reshape(W, P_rep * R)

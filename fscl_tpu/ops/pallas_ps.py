@@ -46,9 +46,13 @@ TILE_L = 2048  # lanes per grid step (bounds VMEM: ~1 MB oh + 4 MB f32 sum)
 
 
 def ps_supported(w_pad, n_lanes):
+    # w_pad < 2^24: the kernel accumulates counts in f32 (tril matmul +
+    # f32 carry), exact only below 2^24 — longer chromosomes take the
+    # exact XLA int32 cumsum fallback.
     return (
         _HAVE_PALLAS
         and w_pad % TILE_W == 0
+        and w_pad < (1 << 24)
         and n_lanes % 128 == 0
         and (n_lanes <= TILE_L or n_lanes % TILE_L == 0)
     )

@@ -107,9 +107,12 @@ def _replicates(key, start, g0, *, n_blocks, n_replicates, width):
 
 
 # device copies of the caller's host gpos arrays (group first-site
-# positions), keyed by identity: the permutation drivers pass the same
-# genome_pos() array every chunk, and the host link is slow (~1.5 MB/s) —
-# re-uploading coordinates each chunk would dominate sigma generation
+# positions): the permutation drivers pass the same genome_pos() array every
+# chunk, and the host link is slow (~1.5 MB/s) — re-uploading coordinates
+# each chunk would dominate sigma generation.  Entries pair the device array
+# with a WEAKREF to the host array: a hit requires the live referent to BE
+# the key object, so a recycled id() (old array GC'd, new one at the same
+# address) can never serve a stale device copy.
 _gpos_cache: dict = {}
 
 
@@ -119,18 +122,26 @@ def _group_first_positions(gpos):
         g0 = (gpos - gpos[0])[::PERM_GROUP]
         span = int(gpos[-1]) - int(gpos[0]) if gpos.shape[0] else 0
         return g0, span
+    import weakref
+
     gpos = np.asarray(gpos)
     span = int(gpos[-1]) - int(gpos[0]) if gpos.shape[0] else 0
-    ck = (id(gpos), gpos.shape[0])
-    if ck not in _gpos_cache:
-        if len(_gpos_cache) > 64:
-            _gpos_cache.clear()
-        _gpos_cache[ck] = jnp.asarray(
-            (gpos[::PERM_GROUP] - (gpos[0] if len(gpos) else 0)).astype(
-                np.int32
-            )
-        )
-    return _gpos_cache[ck], span
+    ck = id(gpos)
+    hit = _gpos_cache.get(ck)
+    if hit is not None:
+        ref, dev = hit
+        if ref() is gpos:
+            return dev, span
+    if len(_gpos_cache) > 64:
+        _gpos_cache.clear()
+    dev = jnp.asarray(
+        (gpos[::PERM_GROUP] - (gpos[0] if len(gpos) else 0)).astype(np.int32)
+    )
+    try:
+        _gpos_cache[ck] = (weakref.ref(gpos), dev)
+    except TypeError:  # non-weakrefable input (e.g. a list): skip caching
+        pass
+    return dev, span
 
 
 def block_permutation_groups(key, gpos, width_bp, n_replicates, start=0):

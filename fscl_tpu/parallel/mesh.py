@@ -32,15 +32,12 @@ def make_scan_mesh(n_perm=None, n_site=None, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if n_perm is None and n_site is None:
-        n_site = 1
-        while n % 2 == 0 and n_site < 4 and n > 1:
-            # give the site axis up to 4 devices, keep the rest for perm
-            if (n // 2) * n_site * 2 == devices.size // 1 and n_site * 2 <= 4:
-                n_site *= 2
-                n //= 2
-            else:
-                break
-        n_perm = devices.size // n_site
+        # perm-major: ALL devices go to the replicate axis (it scales with
+        # zero collectives); the site axis exists for callers that request
+        # it explicitly.  Every production consumer shards over the axis
+        # product ("perm","site"), so the factoring is behavior-neutral for
+        # them — this default just makes the policy match the docstring.
+        n_perm, n_site = n, 1
     elif n_perm is None:
         n_perm = n // n_site
     elif n_site is None:

@@ -96,8 +96,13 @@ def to_global(mesh, arr, spec):
     import numpy as np
     from jax.sharding import NamedSharding
 
+    arr = np.asarray(arr)
+    # global_shape MUST be passed: every process holds the identical FULL
+    # value, so global shape == local shape and each process slices out its
+    # own shards.  Without it JAX infers local_shape x n_processes along the
+    # sharded dim, doubling/duplicating the replicate block (ADVICE r1, high).
     return jax.make_array_from_process_local_data(
-        NamedSharding(mesh, spec), np.asarray(arr)
+        NamedSharding(mesh, spec), arr, global_shape=arr.shape
     )
 
 

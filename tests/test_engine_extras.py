@@ -164,3 +164,46 @@ class TestShardedEngines:
             chunk=8,
         )
         np.testing.assert_allclose(np.asarray(clr_s), np.asarray(clr_1), rtol=1e-5)
+
+
+def test_make_scan_mesh_default_perm_major():
+    """Default factoring gives every device to the perm axis (mesh.py)."""
+    import jax
+
+    from fscl_tpu.parallel import make_scan_mesh
+
+    mesh = make_scan_mesh()
+    n = len(jax.devices())
+    assert dict(mesh.shape) == {"perm": n, "site": 1}
+    mesh2 = make_scan_mesh(n_site=2)
+    assert dict(mesh2.shape) == {"perm": n // 2, "site": 2}
+
+
+def test_gpos_cache_not_fooled_by_id_reuse():
+    """A GC'd gpos array whose address is recycled must NOT serve a stale
+    device copy (ops/permute.py _gpos_cache, VERDICT r1 hazard)."""
+    import numpy as np
+
+    from fscl_tpu.ops.permute import _group_first_positions, _gpos_cache
+
+    _gpos_cache.clear()
+    a = np.arange(0, 8000, 10, dtype=np.int64)
+    dev_a, span_a = _group_first_positions(a)
+    ck = id(a)
+    assert ck in _gpos_cache
+    # simulate id reuse: drop the referent, then poison the cache slot the
+    # way a recycled address would look (dead weakref, stale device array)
+    del a
+    b = np.arange(0, 16000, 20, dtype=np.int64)
+
+    class _DeadRef:
+        def __call__(self):
+            return None
+
+    _gpos_cache[id(b)] = (_DeadRef(), dev_a)
+    dev_b, span_b = _group_first_positions(b)
+    assert span_b == 15980
+    np.testing.assert_array_equal(
+        np.asarray(dev_b), (b[::8] - b[0]).astype(np.int32)
+    )
+    _gpos_cache.clear()
