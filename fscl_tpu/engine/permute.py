@@ -373,13 +373,13 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
             threshold[grp] = np.asarray(obs)[: len(grp)]
 
     rounds_done = 0
+    ckpt = None
     if cfg.checkpoint_path:
-        import os
+        from .checkpoint import Checkpointer
 
-        from .checkpoint import load_checkpoint, save_checkpoint
-
-        if os.path.exists(cfg.checkpoint_path):
-            rounds_done, _ = load_checkpoint(cfg.checkpoint_path, result)
+        ckpt = Checkpointer(cfg.checkpoint_path, result, cfg.seed)
+        rounds_done = ckpt.rounds_done
+        if rounds_done:
             logmsg(
                 MSG_STATUS,
                 "Resumed permutation checkpoint at %d rounds", rounds_done,
@@ -449,10 +449,12 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
             rounds_done += R
             _progress()
-            if cfg.checkpoint_path:
-                save_checkpoint(cfg.checkpoint_path, result, rounds_done, cfg.seed)
+            if ckpt is not None:
+                ckpt.save(result, rounds_done)
             intr.maybe_dump()
 
+    if ckpt is not None:
+        ckpt.close()
     logmsg(
         MSG_STATUS,
         "Scanning snp block permutations... finished (%d rounds).",
@@ -755,13 +757,13 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     )
 
     rounds_done = 0
+    ckpt = None
     if cfg.checkpoint_path:
-        import os
+        from .checkpoint import Checkpointer
 
-        from .checkpoint import load_checkpoint, save_checkpoint
-
-        if os.path.exists(cfg.checkpoint_path):
-            rounds_done, _ = load_checkpoint(cfg.checkpoint_path, result)
+        ckpt = Checkpointer(cfg.checkpoint_path, result, cfg.seed)
+        rounds_done = ckpt.rounds_done
+        if rounds_done:
             logmsg(
                 MSG_STATUS,
                 "Resumed permutation checkpoint at %d rounds", rounds_done,
@@ -951,10 +953,12 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 MSG_DEBUG, "hist round chunk of %d: %.1fs", R,
                 _time.monotonic() - _tr,
             )
-            if cfg.checkpoint_path:
-                save_checkpoint(cfg.checkpoint_path, result, rounds_done, cfg.seed)
+            if ckpt is not None:
+                ckpt.save(result, rounds_done)
             intr.maybe_dump()
 
+    if ckpt is not None:
+        ckpt.close()
     logmsg(
         MSG_STATUS,
         "Scanning snp block permutations... finished (%d rounds).",

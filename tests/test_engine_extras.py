@@ -91,6 +91,74 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             load_checkpoint(ck, r2)
 
+    def test_incremental_roundtrip_and_torn_tail(self, small_scan, tmp_path):
+        """Checkpointer deltas replay exactly; a torn final record is
+        dropped (resume falls back to the last complete record)."""
+        from fscl_tpu.engine.checkpoint import Checkpointer
+
+        data, tables, cfg, result = small_scan
+        ck = str(tmp_path / "inc.npz")
+        r1 = _clone_result(result)
+        c1 = Checkpointer(ck, r1, seed=5)
+        r1.permute_n[:] = 8
+        r1.permute_p[0] = 3
+        r1.null_clr[0] = [1.0, 2.0]
+        c1.save(r1, 8)
+        r1.permute_n[:] = 16
+        r1.null_clr[0].extend([3.5])
+        r1.null_clr[1] = [0.25]
+        c1.save(r1, 16)
+        c1.close()
+
+        r2 = _clone_result(result)
+        c2 = Checkpointer(ck, r2, seed=5)
+        assert c2.rounds_done == 16
+        assert r2.null_clr[0] == [1.0, 2.0, 3.5]
+        assert r2.null_clr[1] == [0.25]
+        assert (r2.permute_n == 16).all() and r2.permute_p[0] == 3
+        c2.close()
+
+        # tear the last record: truncate 4 bytes off the log
+        import os
+
+        size = os.path.getsize(ck + ".log")
+        with open(ck + ".log", "r+b") as fh:
+            fh.truncate(size - 4)
+        r3 = _clone_result(result)
+        c3 = Checkpointer(ck, r3, seed=5)
+        assert c3.rounds_done == 8
+        assert r3.null_clr[0] == [1.0, 2.0]
+        assert r3.null_clr[1] is None or r3.null_clr[1] == []
+        c3.close()
+
+    def test_incremental_resumes_legacy_snapshot(self, small_scan, tmp_path):
+        from fscl_tpu.engine.checkpoint import Checkpointer, save_checkpoint
+
+        data, tables, cfg, result = small_scan
+        ck = str(tmp_path / "legacy.npz")
+        r1 = _clone_result(result)
+        r1.permute_n[:] = 12
+        r1.null_clr[2] = [4.0]
+        save_checkpoint(ck, r1, rounds_done=12, seed=5)
+        r2 = _clone_result(result)
+        c = Checkpointer(ck, r2, seed=5)
+        assert c.rounds_done == 12
+        assert r2.null_clr[2] == [4.0]
+        assert (r2.permute_n == 12).all()
+        c.close()
+
+    def test_incremental_rejects_mismatched_scan(self, small_scan, tmp_path):
+        from fscl_tpu.engine.checkpoint import Checkpointer
+
+        data, tables, cfg, result = small_scan
+        ck = str(tmp_path / "inc2.npz")
+        r1 = _clone_result(result)
+        Checkpointer(ck, r1, seed=5).close()
+        r2 = _clone_result(result)
+        r2.clr = r2.clr + 5.0
+        with pytest.raises(ValueError):
+            Checkpointer(ck, r2, seed=5)
+
 
 class TestAscbiasSegments:
     def test_extract_snps_rule(self):
