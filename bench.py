@@ -143,8 +143,48 @@ def run_ours():
     )
 
 
+def pallas_selfcheck():
+    """On-hardware agreement check: Pallas prefix-sum kernel vs exact XLA.
+
+    CI exercises the kernel only in interpret mode (tests/test_pallas_ps.py),
+    so a Mosaic regression on real hardware would otherwise surface as a
+    silently wrong benchmark.  Runs both kernel input modes (row-id compare
+    and prebuilt int8 one-hot) against an exact int64 cumsum before any
+    timing; a mismatch aborts the bench loudly.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fscl_tpu.ops.pallas_ps import onehot_prefix_sums, ps_supported
+
+    if jax.default_backend() == "cpu":
+        print("# pallas selfcheck skipped (cpu backend)", file=sys.stderr)
+        return
+    rng = np.random.default_rng(0)
+    W, P, R = 1024, 2, 128
+    L = P * R
+    assert ps_supported(W, L)
+    # row ids including out-of-range (>= R) padding sentinels
+    rows = rng.integers(0, R + 2, size=(W, P), dtype=np.int32)
+    rows_exp = jnp.asarray(np.repeat(rows, R, axis=1))
+    got = np.asarray(
+        onehot_prefix_sums(rows_exp, n_rows=R, out_dtype=jnp.int16)
+    ).astype(np.int64)
+    oh = (rows[:, :, None] == np.arange(R)).reshape(W, L)
+    want = np.cumsum(oh.astype(np.int64), axis=0)
+    np.testing.assert_array_equal(got, want)
+    got2 = np.asarray(
+        onehot_prefix_sums(jnp.asarray(oh.astype(np.int8)),
+                           out_dtype=jnp.int32)
+    )
+    np.testing.assert_array_equal(got2, want)
+    print("# pallas selfcheck ok", file=sys.stderr)
+
+
 def main():
     ensure_data()
+    pallas_selfcheck()
     ours = run_ours()
 
     baseline_file = REPO / "bench" / "baseline_c.json"

@@ -71,6 +71,11 @@ HIST_POINT_BUCKET = 256  # scan points per hist dispatch: larger buckets
 # bounds/fbar stay ~18 MB at 256 points x 49 fine candidates
 HIST_COMPACT = True  # rebuild point buckets as pruning empties them
 
+# dispatch counters for the most recent scan_permute call — tests assert the
+# intended path (e.g. the sharded branch) actually ran, so a config change
+# that silently drops to a fallback fails loudly instead of going untested
+last_stats: dict = {}
+
 
 @dataclasses.dataclass
 class PermuteConfig:
@@ -303,6 +308,12 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
     """
     if cfg.n_permute <= 0:
         return result
+    last_stats.clear()
+    last_stats.update(
+        hist_sharded_dispatches=0,
+        hist_unsharded_dispatches=0,
+        lattice_dispatches=0,
+    )
     if cfg.use_hist:
         from ..ops.histclr import hist_geometry_ok
 
@@ -427,6 +438,7 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
                     )
                     outs = []
                     for r0 in range(0, R_pad, REP_SUB):
+                        last_stats["lattice_dispatches"] += 1
                         outs.append(
                             _permute_batch_chr(
                                 *packs, row_gen, null_gen,
@@ -911,18 +923,20 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                         for b in live
                     )
 
-                outs_slices = [
-                    sharded_hist_permute(
-                        mesh, chr_fn,
-                        to_global(mesh, sigma_p[r0 : r0 + sub_b],
-                                  jax.sharding.PartitionSpec(
-                                      ("perm", "site"))),
-                        n_out=len(live),
-                    )
-                    if shard_now
-                    else chr_fn(sigma_p[r0 : r0 + sub_b])
-                    for r0 in range(0, pad_b, sub_b)
-                ]
+                outs_slices = []
+                for r0 in range(0, pad_b, sub_b):
+                    if shard_now:
+                        outs_slices.append(sharded_hist_permute(
+                            mesh, chr_fn,
+                            to_global(mesh, sigma_p[r0 : r0 + sub_b],
+                                      jax.sharding.PartitionSpec(
+                                          ("perm", "site"))),
+                            n_out=len(live),
+                        ))
+                        last_stats["hist_sharded_dispatches"] += 1
+                    else:
+                        outs_slices.append(chr_fn(sigma_p[r0 : r0 + sub_b]))
+                        last_stats["hist_unsharded_dispatches"] += 1
                 for k, b in enumerate(live):
                     pending.append((b, [o[k] for o in outs_slices]))
             if pending:

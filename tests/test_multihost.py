@@ -147,6 +147,12 @@ def _full_pipeline():
     stream derives from absolute replicate indices and the pruning RNG
     from the config seed, so 1-process x 8-device and 2-process x
     4-device runs must produce IDENTICAL pruning outcomes.
+
+    HIST_REP_SUB is patched down to 2 so the driver's shard_now gate
+    (replicate padding <= 2x) is satisfied at this tiny replicate count —
+    the run MUST take the sharded to_global + allgather path, asserted via
+    the dispatch counters (ADVICE r1: the unpatched config silently fell
+    back to the unsharded path, leaving the sharded code untested).
     """
     import numpy as np
 
@@ -154,6 +160,7 @@ def _full_pipeline():
     from fscl_tpu.engine import (
         PermuteConfig, ScanConfig, scan_genome, scan_permute,
     )
+    from fscl_tpu.engine import permute as permute_mod
     from fscl_tpu.models import background_fsp, build_tables
     from fscl_tpu.sim import simulate_dataset
 
@@ -174,7 +181,16 @@ def _full_pipeline():
     scan_cfg = ScanConfig(small_grid_sp=10000, large_grid_sp=200000)
     result = scan_genome(data, tables, scan_cfg)
     pc = PermuteConfig(n_permute=24, chunk_replicates=16, seed=5)
-    scan_permute(data, tables, result, scan_cfg, pc)
+    saved = permute_mod.HIST_REP_SUB
+    permute_mod.HIST_REP_SUB = 2
+    try:
+        scan_permute(data, tables, result, scan_cfg, pc)
+    finally:
+        permute_mod.HIST_REP_SUB = saved
+    assert permute_mod.last_stats.get("hist_sharded_dispatches", 0) > 0, (
+        "sharded permutation branch was not taken: "
+        f"{permute_mod.last_stats}"
+    )
     return result.permute_n.copy(), result.permute_p.copy()
 
 
