@@ -61,25 +61,24 @@ def main():
         "sigma_gen", P.block_permutation_groups,
         sync=lambda r: np.asarray(r[:1, :1]),
     )
-    P._hist_perm_batch = _timed(
-        "dispatch", P._hist_perm_batch, sync=lambda r: np.asarray(r[:1, :1])
+    P._stack_stat = _timed(
+        "dispatch", P._stack_stat, sync=lambda r: np.asarray(r[:1, :1])
     )
     P._apply_round_updates = _timed("host_updates", P._apply_round_updates)
-    _orig_bucket = P._ChrHistBucket
+    _orig_rebuild = P._StackGroup.rebuild
 
-    class TimedBucket(_orig_bucket):
-        def __init__(self, *a, **k):
-            t0 = time.monotonic()
-            super().__init__(*a, **k)
-            np.asarray(self.points.bounds[:1])
-            ACC["bucket_build"] = ACC.get("bucket_build", 0.0) + (
-                time.monotonic() - t0
-            )
-            ACC["bucket_build#"] = ACC.get("bucket_build#", 0) + 1
+    def timed_rebuild(self, *a, **k):
+        t0 = time.monotonic()
+        _orig_rebuild(self, *a, **k)
+        np.asarray(self.bounds[:1])
+        ACC["geom_rebuild"] = ACC.get("geom_rebuild", 0.0) + (
+            time.monotonic() - t0
+        )
+        ACC["geom_rebuild#"] = ACC.get("geom_rebuild#", 0) + 1
 
-    P._ChrHistBucket = TimedBucket
-    _orig_tables = P.build_hist_tables
-    P.build_hist_tables = _timed("hist_tables", _orig_tables)
+    P._StackGroup.rebuild = timed_rebuild
+    import fscl_tpu.engine.scan as S
+    S.make_scan_hist_tables = _timed("hist_tables", S.make_scan_hist_tables)
 
     perm_cfg = PermuteConfig(n_permute=_b.N_PERMUTE, chunk_replicates=32, seed=1)
     warm = copy.deepcopy(result)

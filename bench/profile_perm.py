@@ -27,13 +27,13 @@ def sync(x):
 def main():
     from fscl_tpu.engine import ScanConfig, scan_genome
     from fscl_tpu.engine.permute import (
-        _ChrHistBucket, _ChrPermContext, _hist_perm_batch,
+        _ChrPermContext, _fine_cand, _hist_perm_batch,
         _permute_batch_chr, POINT_BUCKET, HIST_REP_SUB, REP_SUB,
     )
     from fscl_tpu.engine.scan import _pad_sites
     from fscl_tpu.io import load_snp_input
     from fscl_tpu.models import background_fsp, build_tables
-    from fscl_tpu.ops.histclr import build_hist_tables
+    from fscl_tpu.ops.histclr import build_hist_points, build_hist_tables
     from fscl_tpu.ops.lattice import LatticeTables
     from fscl_tpu.ops.permute import block_permutation_groups
 
@@ -70,11 +70,14 @@ def main():
     )
     sync(ht.t3[0])
     t1 = time.perf_counter()
-    b = _ChrHistBucket(ht, pos_np, result, pts, 13, cfg.eval_range)
-    sync(b.points.bounds[0])
+    Jf = 49
+    hp = build_hist_points(
+        ht, pos_np, _fine_cand(result, pts, Jf), cfg.eval_range, cand_pad=Jf,
+    )
+    sync(hp.bounds[0])
     t2 = time.perf_counter()
-    print(f"hist tables {t1-t0:.1f}s  bucket precompute {t2-t1:.1f}s "
-          f"(NC={ht.n_cells}, R={ht.n_rows}, C={b.points.n_cand})")
+    print(f"hist tables {t1-t0:.1f}s  geometry precompute {t2-t1:.1f}s "
+          f"(NC={ht.n_cells}, R={ht.n_rows}, C={hp.n_cand})")
 
     row_cg = jnp.asarray(ht.row_map[row].astype(np.int32))
     gpos = data.genome_pos()
@@ -87,10 +90,10 @@ def main():
 
     def hist_call():
         return _hist_perm_batch(
-            ht.t3, b.points.bounds, b.points.fbar, row_cg, sigma,
+            ht.t3, hp.bounds, hp.fbar, row_cg, sigma,
             n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
             c_sub=32, start=cl.start_index, n=n, w_pad=w_pad,
-            n_pts=b.n_pts, Jf=b.Jf,
+            n_pts=len(pts), Jf=Jf,
         )
 
     t0 = time.perf_counter()

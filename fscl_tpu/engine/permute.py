@@ -39,9 +39,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.histclr import (
-    HistPoints,
     build_hist_points,
     build_prefix_sums_oh,
+    build_prefix_sums_seg,
     hist_clr_reps_ps,
     hist_supported,
     make_hist_device_arrays,
@@ -561,114 +561,223 @@ def _hist_perm_batch(t3, bounds, fbar, row_cg, sigma8,
     )
 
 
-def _bucket_size(n_active):
-    """Smallest power-of-4 bucket >= n_active, capped at HIST_POINT_BUCKET.
-
-    Kernel cost scales with the padded point count, so late pruning rounds
-    (a handful of survivors) run in 4/16/64-point buckets instead of
-    padding to 256; each distinct size is one extra compiled shape, cached
-    persistently."""
-    b = 4
-    while b < min(n_active, HIST_POINT_BUCKET):
-        b *= 4
-    return b
-
-
-def _bucket_cand(result, pts, n_pts, Jf):
-    """[n_pts*Jf] fine-grid candidate positions for one point bucket."""
-    ist = np.zeros(n_pts, dtype=np.int64)
-    ien = np.zeros(n_pts, dtype=np.int64)
-    ist[: len(pts)] = result.interval_start[pts]
-    ien[: len(pts)] = result.interval_end[pts]
+def _fine_cand(result, pts, Jf):
+    """[len(pts)*Jf] fine-grid candidate positions for a point set."""
+    ist = result.interval_start[pts]
+    ien = result.interval_end[pts]
     f = np.linspace(0.0, 1.0, Jf)
     return (ist[:, None] + f[None, :] * (ien - ist)[:, None]).astype(
         np.int64
     ).reshape(-1)
 
 
-class _ChrHistBucket:
-    """One fixed bucket of scan points with precomputed fine-grid geometry."""
-
-    def __init__(self, ht, pos_np, result, pts, J, eval_range,
-                 device_arrays=None, n_pts=None, points=None):
-        self.pts = pts
-        n_pts = n_pts or HIST_POINT_BUCKET
-        Jf = STAT_DENSIFY * (J - 1) + 1
-        if points is None:
-            points = build_hist_points(
-                ht, pos_np, _bucket_cand(result, pts, n_pts, Jf),
-                eval_range, cand_pad=Jf, device_arrays=device_arrays,
-            )
-        self.points = points
-        self.n_pts = n_pts
-        self.J = J
-        self.Jf = Jf
+# segment-count padding ladder: one compiled program per rung, so the
+# stacked dispatch shape changes only ~log-many times as pruning empties
+# chromosomes (pure power-of-2 padding would waste up to 2x prefix-sum
+# work at large segment counts; the 12/24/48/96 rungs cap waste at ~33%)
+_SEG_LADDER = (1, 2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
 
 
-def _bucket_groups(pts):
-    """Split a point set into dispatch buckets.
+def _ladder_pad(n):
+    for v in _SEG_LADDER:
+        if v >= n:
+            return v
+    return -(-n // 256) * 256
 
-    Full HIST_POINT_BUCKET groups, then the remainder at 64-point
-    granularity with a power-of-4 tail — padding waste stays < 64 points
-    while every shape comes from the small set {4, 16, 64, 256}.  The
-    per-chromosome prefix-sum build is hoisted out of the bucket loop, so
-    extra buckets cost only one statistic dispatch each."""
-    groups = []
-    n_full = len(pts) // HIST_POINT_BUCKET * HIST_POINT_BUCKET
-    for g0 in range(0, n_full, HIST_POINT_BUCKET):
-        groups.append(
-            (pts[g0 : g0 + HIST_POINT_BUCKET], HIST_POINT_BUCKET)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "w_seg_p", "n_seg", "n_rows", "n_cells", "n_alpha",
+        "sub_rep", "n_slices", "n_pts", "Jf",
+    ),
+)
+def _stack_stat(oh_table, sigma8, seg_g0, seg_off, seg_n, bounds, fbar, t3,
+                *, w_seg_p, n_seg, n_rows, n_cells, n_alpha,
+                sub_rep, n_slices, n_pts, Jf):
+    """Statistic maxima for stacked chromosome segments; [R, n_pts].
+
+    All live chromosomes of one padded-length class stack onto a single
+    flat site axis of n_seg segments x w_seg_p slots; the per-segment
+    prefix sums (build_prefix_sums_seg) reset at segment boundaries, and
+    candidate bounds index the flat axis directly (segment slot * w_seg_p
+    + group-alignment offset + local site index).  One dispatch — with an
+    inner lax.map over replicate slices — therefore covers every live
+    chromosome and every surviving point for many replicates, replacing
+    the per-chromosome, per-bucket dispatch loop whose ~20-25 ms tunnel
+    latency each dominated genome-scale pruning tails (the reference's
+    equivalent unit is one work-queue pull per point per round,
+    scan-chromosome.c:469-487).
+
+    Segment slot layout: site k=0 is a reserved always-zero row (so a
+    bound of 0 reads an exact zero prefix); site k in [1, w_seg_p) holds
+    the group-aligned site k-1, of which [off+1, off+n] are the real
+    chromosome sites.  sigma8: [n_slices*sub_rep, n_sig] group-level
+    permutation indices (sentinel-padded); seg_g0/seg_off/seg_n: [n_seg]
+    per-segment start group, alignment offset, real site count (0 for
+    padding segments).
+    """
+    G_loc = -(-(w_seg_p - 1) // PERM_GROUP)
+    n_sig = sigma8.shape[1]
+    idx8 = seg_g0[:, None] + jnp.arange(G_loc, dtype=jnp.int32)[None, :]
+    k = jnp.arange(w_seg_p, dtype=jnp.int32)[None, :]
+    site_ok = (k >= seg_off[:, None] + 1) & (
+        k <= seg_off[:, None] + seg_n[:, None]
+    )  # [S, w_seg_p]
+
+    def one_slice(sig):  # [sub_rep, n_sig]
+        sel = sig.T[idx8]  # [S, G_loc, P] row gather of sigma columns
+        oh = oh_table[sel]  # [S, G_loc, P, PERM_GROUP*R] i8 row gather
+        oh = oh.reshape(n_seg, G_loc, sub_rep, PERM_GROUP, n_rows)
+        oh = oh.transpose(0, 1, 3, 2, 4).reshape(
+            n_seg, G_loc * PERM_GROUP, sub_rep, n_rows
+        )[:, : w_seg_p - 1]
+        oh = jnp.pad(oh, ((0, 0), (1, 0), (0, 0), (0, 0)))
+        oh = jnp.where(site_ok[:, :, None, None], oh, jnp.int8(0))
+        ps = build_prefix_sums_seg(
+            oh.reshape(n_seg * w_seg_p, sub_rep * n_rows), seg_len=w_seg_p
         )
-    rem = pts[n_full:]
-    for g0 in range(0, len(rem), 64):
-        grp = rem[g0 : g0 + 64]
-        groups.append((grp, _bucket_size(len(grp))))
-    return groups
+        clr = hist_clr_reps_ps(
+            t3, bounds, fbar, ps, n_rep=sub_rep,
+            n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=32,
+        )  # [P, n_pts*Jf, A]
+        return clr.reshape(sub_rep, n_pts, Jf * n_alpha).max(axis=2)
 
-
-def _build_buckets(ht, pos_np, result, groups, J, eval_range, dev_arrays):
-    """All point buckets of one chromosome from ONE merged geometry build.
-
-    build_hist_points is one device dispatch; per-bucket calls each pay the
-    slow host link's round trip, so every bucket's candidates are
-    concatenated into a single call and the device outputs sliced."""
-    Jf = STAT_DENSIFY * (J - 1) + 1
-    cands = [_bucket_cand(result, pts, n_pts, Jf) for pts, n_pts in groups]
-    merged = build_hist_points(
-        ht, pos_np, np.concatenate(cands) if cands else np.zeros(0, np.int64),
-        eval_range, cand_pad=Jf, device_arrays=dev_arrays,
+    out = jax.lax.map(
+        one_slice, sigma8.reshape(n_slices, sub_rep, n_sig)
     )
-    buckets = []
-    off = 0
-    for pts, n_pts in groups:
-        sz = n_pts * Jf
-        hp = HistPoints(
-            bounds=merged.bounds[off : off + sz],
-            fbar=merged.fbar[off : off + sz],
-            n_cand=sz,
-            n_real=len(pts) * Jf,
+    return out.reshape(n_slices * sub_rep, n_pts)
+
+
+# measured effective rates on the bench TPU (BASELINE.md kernel facts):
+# used only to budget per-dispatch work below the tunnel watchdog
+_HBM_RATE = 5e11  # bytes/s, conservative
+_GATHER_ROWS_RATE = 1.2e8  # bounds-gather rows/s
+_MXU_RATE = 5e12  # effective f32 FLOP/s in the gather-interleaved matmul
+_DISPATCH_TARGET_S = 3.0  # per-dispatch wall target
+_PS_BUDGET = 2_400_000_000  # transient [S*w, P*R] i8/i16 buffer bytes
+
+
+class _StackGroup:
+    """Live chromosomes of one padded-length class, stacked for dispatch.
+
+    Holds per-segment static geometry (group index, alignment offset, site
+    count) plus the merged candidate run geometry (bounds/fbar) over every
+    ACTIVE scan point of its chromosomes.  Geometry is rebuilt when the
+    active set halves (compaction) or a rung of the segment ladder drops,
+    so late pruning rounds run on small shapes.
+    """
+
+    def __init__(self, ht, w_seg_p, segs, eval_range, Jf):
+        self.ht = ht
+        self.w_seg_p = w_seg_p
+        self.segs = segs  # [(chr_index, start, n, pos_np, dev_arrays)]
+        self.eval_range = eval_range
+        self.Jf = Jf
+        self.pts = None  # active point ids in geometry order
+        self.n_pts_pad = 0
+        self.n_seg_pad = 0
+        self.bounds = self.fbar = None
+        self.seg_g0 = self.seg_off = self.seg_n = None
+        self.sub_rep = HIST_REP_SUB
+
+    def rebuild(self, result, pts_by_chr):
+        """Merged flat-axis geometry for the given active points.
+
+        pts_by_chr: {chr_index: np.ndarray of point ids}.  One
+        build_hist_points dispatch per live chromosome; bounds shift to
+        the stacked flat axis (slot*w_seg_p + off + local).
+        """
+        ht, Jf = self.ht, self.Jf
+        live = [s for s in self.segs if len(pts_by_chr.get(s[0], ())) > 0]
+        S_pad = _ladder_pad(max(len(live), 1))
+        g0 = np.zeros(S_pad, np.int32)
+        off = np.zeros(S_pad, np.int32)
+        nn = np.zeros(S_pad, np.int32)
+        b_parts, f_parts, pts_all = [], [], []
+        for slot, (c, start, n, pos_np, dev) in enumerate(live):
+            g0[slot] = start // PERM_GROUP
+            off[slot] = start - g0[slot] * PERM_GROUP
+            nn[slot] = n
+            pts = pts_by_chr[c]
+            hp = build_hist_points(
+                ht, pos_np, _fine_cand(result, pts, Jf),
+                self.eval_range, cand_pad=Jf, device_arrays=dev,
+            )
+            base = slot * self.w_seg_p + int(off[slot])
+            b_parts.append(hp.bounds + jnp.int32(base))
+            f_parts.append(hp.fbar)
+            pts_all.append(pts)
+        self.pts = (
+            np.concatenate(pts_all) if pts_all else np.zeros(0, np.int64)
         )
-        buckets.append(
-            _ChrHistBucket(ht, pos_np, result, pts, J, eval_range,
-                           n_pts=n_pts, points=hp)
+        n_pts = len(self.pts)
+        self.n_pts_pad = _pad_pow2(max(n_pts, 1), minimum=4)
+        C_pad = self.n_pts_pad * Jf
+        bounds = jnp.concatenate(b_parts) if b_parts else jnp.zeros(
+            (0, 2, ht.n_cells + 1), jnp.int32
         )
-        off += sz
-    return buckets
+        fbar = jnp.concatenate(f_parts) if f_parts else jnp.zeros(
+            (0, 2, ht.n_cells), jnp.float32
+        )
+        pad = C_pad - bounds.shape[0]
+        if pad:
+            # zero bounds -> flat row 0 (a reserved masked slot) -> empty
+            # runs -> CLR exactly 0 for padding candidates
+            bounds = jnp.pad(bounds, ((0, pad), (0, 0), (0, 0)))
+            fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
+        self.bounds, self.fbar = bounds, fbar
+        self.n_seg_pad = S_pad
+        self.seg_g0 = jnp.asarray(g0)
+        self.seg_off = jnp.asarray(off)
+        self.seg_n = jnp.asarray(nn)
+        # largest replicate slice whose transient [S*w, P*R] buffers fit
+        p = HIST_REP_SUB * 2
+        while p > 1 and (
+            S_pad * self.w_seg_p * p * ht.n_rows * 2 > _PS_BUDGET
+        ):
+            p //= 2
+        self.sub_rep = p
+
+    def slice_cost_s(self):
+        """Rough per-replicate-slice wall estimate (dispatch budgeting)."""
+        ht = self.ht
+        ps_bytes = (
+            self.n_seg_pad * self.w_seg_p * self.sub_rep * ht.n_rows * 5
+        )
+        rows = self.n_pts_pad * self.Jf * 2 * (ht.n_cells + 1)
+        gbytes = rows * self.sub_rep * ht.n_rows * 2
+        flops = (
+            self.n_pts_pad * self.Jf * ht.n_alpha * self.sub_rep
+            * 2 * ht.n_cells * ht.n_rows * 2
+        )
+        return (
+            ps_bytes / _HBM_RATE
+            + max(rows / _GATHER_ROWS_RATE, gbytes / _HBM_RATE)
+            + flops / _MXU_RATE
+        )
 
 
 def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                        rows_used, dump_fn=None):
     """Histogram fast-path permutation driver (see ops/histclr.py).
 
-    Statistic: per coarse interval, max CLR over a fixed hist_positions-point
-    subgrid x a dense hist_alphas lattice alpha grid, applied identically to
-    the observed data (thresholds) and every permuted replicate.  Point
-    buckets are FIXED across rounds (run boundaries are precomputed per
-    bucket); pruning skips a bucket once all its points finish.
+    Statistic: per coarse interval, max CLR over a fixed Jf-point fine
+    position grid x a dense hist_alphas lattice alpha grid, applied
+    identically to the observed data (thresholds) and every permuted
+    replicate — a valid Monte-Carlo test (same functional on both sides).
+
+    Dispatch structure: live chromosomes stack into per-length
+    _StackGroups; each group runs a whole chunk of replicates in a few
+    scan-fused _stack_stat dispatches, so the genome-scale pruning tail
+    (a handful of immortal points spread over many chromosomes,
+    scan-chromosome.c:489-494) pays ~constant dispatch latency per chunk
+    instead of one prefix-sum build + statistic round trip per chromosome
+    per replicate slice.
     """
     rng = np.random.default_rng(cfg.seed)
     key0 = jax.random.key(cfg.seed)
-    J = cfg.hist_positions
+    Jf = STAT_DENSIFY * (cfg.hist_positions - 1) + 1
 
     import time as _time
 
@@ -687,15 +796,44 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     gpos = data.genome_pos()
     width_bp = cfg.scan_width_mb * 1e6
     n_groups = oh_table.shape[0] - 1  # sentinel row index
-    # sigma sentinel margin: _perm_ps slices [start//G, start//G + w_pad//G
-    # + 1) — pad group columns so every chromosome's slice stays in bounds
+
+    K = result.n_points
+    for i in range(K):
+        if result.null_clr[i] is None:
+            result.null_clr[i] = []
+
+    from ..utils import MSG_DEBUG1 as MSG_DEBUG
+
+    # stack groups: chromosomes keyed by padded segment length (4096-bp
+    # quanta bound the compiled-shape count; equal-length chromosomes
+    # stack waste-free)
+    by_len: dict = {}
+    for c, cl in enumerate(data.chr_limits):
+        if cl.n_snps == 0 or not (result.chr_id == c).any():
+            continue
+        w_seg_p = -(-(cl.n_snps + PERM_GROUP + 1) // 4096) * 4096
+        sl = slice(cl.start_index, cl.start_index + cl.n_snps)
+        pos_np = np.asarray(data.pos[sl])
+        by_len.setdefault(w_seg_p, []).append(
+            (c, cl.start_index, cl.n_snps, pos_np,
+             make_hist_device_arrays(ht, pos_np))
+        )
+    stacks = [
+        _StackGroup(ht, w, segs, scan_cfg.eval_range, Jf)
+        for w, segs in sorted(by_len.items())
+    ]
+    logmsg(MSG_DEBUG, "hist tables: %.1fs", _time.monotonic() - _tt)
+
+    # sigma sentinel margin: each segment's group window reaches
+    # g0 + ceil((w_seg_p - 1) / PERM_GROUP)
     margin = 2 + max(
         (
-            cl.start_index // PERM_GROUP
-            + _pad_sites(cl.n_snps) // PERM_GROUP
+            seg[1] // PERM_GROUP
+            + -(-(st.w_seg_p - 1) // PERM_GROUP)
             + 1
             - n_groups
-            for cl in data.chr_limits
+            for st in stacks
+            for seg in st.segs
         ),
         default=2,
     )
@@ -712,61 +850,13 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             axis=1,
         )
 
-    K = result.n_points
-    for i in range(K):
-        if result.null_clr[i] is None:
-            result.null_clr[i] = []
-
-    # per-chromosome bucket contexts + observed thresholds
-    from ..utils import MSG_DEBUG1 as MSG_DEBUG
-
-    logmsg(MSG_DEBUG, "hist tables: %.1fs", _time.monotonic() - _tt)
-    _t0 = _time.monotonic()
-    threshold = np.zeros(K)
-    chr_buckets = []  # (start, n, w_pad, [buckets])
-    obs_sigma = _pad_sigma(jnp.arange(n_groups, dtype=jnp.int32)[None, :])
-    obs_pending = []  # (bucket, device stat) — drained once, below
-    for c, cl in enumerate(data.chr_limits):
-        pts = np.where(result.chr_id == c)[0]
-        if len(pts) == 0:
-            continue
-        sl = slice(cl.start_index, cl.start_index + cl.n_snps)
-        pos_np = np.asarray(data.pos[sl])
-        n = cl.n_snps
-        w_pad = _pad_sites(n)
-        dev_arrays = make_hist_device_arrays(ht, pos_np)
-        buckets = _build_buckets(
-            ht, pos_np, result, _bucket_groups(pts), J,
-            scan_cfg.eval_range, dev_arrays,
-        )
-        obs_ps = _perm_ps(
-            oh_table, obs_sigma, start=cl.start_index, n=n, w_pad=w_pad,
-        )
-        for b in buckets:
-            obs = _hist_stat(
-                ht.t3, b.points.bounds, b.points.fbar, obs_ps, n_rep=1,
-                n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
-                c_sub=32, n_pts=b.n_pts, Jf=b.Jf,
-            )
-            obs_pending.append((b, obs))
-        chr_buckets.append(
-            [cl.start_index, n, w_pad, buckets, pos_np, dev_arrays]
-        )
-    if obs_pending:
-        # one concatenated device vector -> ONE host readback (the slow
-        # tunnel pays per round trip, not per byte, at these sizes)
-        obs_cat = np.asarray(
-            jnp.concatenate([o[0, : len(b.pts)] for b, o in obs_pending])
-        )
-        off = 0
-        for b, _ in obs_pending:
-            threshold[b.pts] = obs_cat[off : off + len(b.pts)]
-            off += len(b.pts)
-    logmsg(
-        MSG_DEBUG, "hist permutation setup: %.1fs (%d buckets)",
-        _time.monotonic() - _t0,
-        sum(len(e[3]) for e in chr_buckets),
-    )
+    def _active_by_chr(st, act):
+        out = {}
+        for c, *_ in st.segs:
+            pts = np.where((result.chr_id == c) & act)[0]
+            if len(pts):
+                out[c] = pts
+        return out
 
     rounds_done = 0
     ckpt = None
@@ -781,6 +871,43 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 "Resumed permutation checkpoint at %d rounds", rounds_done,
             )
     active = ~result.permute_finished.copy()
+
+    def _stat_call(st, sig, n_slices):
+        return _stack_stat(
+            oh_table, sig, st.seg_g0, st.seg_off, st.seg_n,
+            st.bounds, st.fbar, ht.t3,
+            w_seg_p=st.w_seg_p, n_seg=st.n_seg_pad, n_rows=ht.n_rows,
+            n_cells=ht.n_cells, n_alpha=ht.n_alpha,
+            sub_rep=st.sub_rep, n_slices=n_slices,
+            n_pts=st.n_pts_pad, Jf=Jf,
+        )
+
+    # observed thresholds under the identical statistic: sigma = identity
+    _t0 = _time.monotonic()
+    threshold = np.zeros(K)
+    obs_sigma = _pad_sigma(jnp.arange(n_groups, dtype=jnp.int32)[None, :])
+    th_pending = []
+    for st in stacks:
+        st.rebuild(result, _active_by_chr(st, np.ones(K, bool)))
+        sub_save, st.sub_rep = st.sub_rep, 1
+        th_pending.append((st, _stat_call(st, obs_sigma, 1)))
+        st.sub_rep = sub_save
+    if th_pending:
+        # one concatenated device vector -> ONE host readback (the slow
+        # tunnel pays per round trip, not per byte, at these sizes)
+        obs_cat = np.asarray(
+            jnp.concatenate(
+                [o[0, : len(st.pts)] for st, o in th_pending]
+            )
+        )
+        off = 0
+        for st, _ in th_pending:
+            threshold[st.pts] = obs_cat[off : off + len(st.pts)]
+            off += len(st.pts)
+    logmsg(
+        MSG_DEBUG, "hist permutation setup: %.1fs (%d stack groups)",
+        _time.monotonic() - _t0, len(stacks),
+    )
 
     # replicate sharding over the device mesh: the hist path has per-replicate
     # state and no cross-replicate communication, so replicates spread over
@@ -810,27 +937,18 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             int(active.sum()),
         )
 
-    # sigma is ALWAYS generated at one fixed replicate count (the full-chunk
-    # padding): a short final chunk then reuses both the sigma program and
-    # every dispatch shape (generating [R_small, N] would recompile the
-    # whole permutation program for one chunk); extra rows cost ~nothing
-    # and are never dispatched
-    _rs = rep_step if mesh is not None else HIST_REP_SUB
-    R_gen = -(-cfg.chunk_replicates // _rs) * _rs  # multiple of every
-    # dispatch step, so all slice windows stay inside the generated rows
+    # sigma is ALWAYS generated at a fixed per-boost replicate count: a
+    # short final chunk then reuses both the sigma program and every
+    # dispatch shape; extra rows cost ~nothing and their absolute-index
+    # keys make any chunking replay the identical stream
+    q_max = 2 * HIST_REP_SUB * (ndev if mesh is not None else 1)
+    R_gen = -(-cfg.chunk_replicates // HIST_REP_SUB) * HIST_REP_SUB
 
     # adaptive cadence: once pruning leaves few survivors, the per-chunk
     # fixed costs (sigma program, dispatch round-trips, host updates)
-    # dominate, so the replicate count per chunk grows 16x/64x (the
-    # per-dispatch replicate slice stays bounded by ps_rep_cap below, so a
-    # boosted chunk is just MORE dispatches per fixed cost).  Boost levels
-    # are quantized so each sigma shape compiles once; a memory cap bounds
-    # sigma at ~4 GB (the tunnel pays ~20-25 ms latency per dispatch, so
-    # genome-scale pruning tails — a handful of immortal points spread over
-    # many chromosomes — are dispatch-latency-bound and want the largest
-    # replicate slices HBM allows).  The boost depends only on the active
-    # count, which is deterministic given the config, so runs stay
-    # reproducible.
+    # dominate, so the replicate count per chunk grows 16x/64x.  The boost
+    # depends only on the active count — deterministic given the config —
+    # so runs stay reproducible; a memory cap bounds sigma at ~4 GB.
     boost_cap = max(1, 1_024_000_000 // max(n_groups, 1) // max(R_gen, 1))
 
     def _boost(n_act):
@@ -851,101 +969,86 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                     cfg.n_permute - rounds_done)
             # shard only when the replicate padding stays reasonable (small
             # final chunks run unsharded rather than pad 8x)
-            shard_now = mesh is not None and -(-R // rep_step) * rep_step <= 2 * R
-            step_now = rep_step if shard_now else HIST_REP_SUB
-            R_pad = -(-R // step_now) * step_now
+            shard_now = (
+                mesh is not None
+                and -(-R // rep_step) * rep_step <= 2 * R
+            )
+            nshard = ndev if shard_now else 1
             sigma_p = _pad_sigma(block_permutation_groups(
-                key0, gpos, width_bp, R_gen * boost, start=rounds_done
+                key0, gpos, width_bp, R_gen * boost + q_max,
+                start=rounds_done,
             ))
 
-            pending = []  # (bucket, [device stats]) — drained after ALL
-            # dispatches are enqueued: buckets hold disjoint points, so the
+            pending = []  # (stack, [device stats]) — drained after ALL
+            # dispatches are enqueued: groups hold disjoint points, so the
             # results are identical to interleaved updates, but the host
             # pays ONE pipeline drain per chunk instead of one slow-tunnel
-            # round trip per bucket
-            for chrb in chr_buckets:
-                start, n, w_pad, buckets, pos_np, dev_arrays = chrb
-                # bucket compaction: pruning strands a few active points in
-                # full-size buckets; rebuild (one device geometry dispatch)
-                # only when the padded dispatch cost at least halves —
-                # kernel cost scales with the padded point count, so late
-                # rounds with a handful of survivors run in 4/16-point
-                # buckets rather than padding to 64
-                act_chr = np.concatenate(
-                    [b.pts[active[b.pts]] for b in buckets]
-                ) if HIST_COMPACT else None
-                if act_chr is not None and len(act_chr) > 0:
-                    groups = _bucket_groups(act_chr)
-                    old_padded = sum(
-                        b.n_pts for b in buckets if active[b.pts].any()
-                    )
-                    if 2 * sum(np_ for _, np_ in groups) <= old_padded:
-                        buckets = _build_buckets(
-                            ht, pos_np, result, groups, J,
-                            scan_cfg.eval_range, dev_arrays,
-                        )
-                        chrb[3] = buckets
-                live = [b for b in buckets if active[b.pts].any()]
-                if not live:
+            # round trip per group
+            for st in stacks:
+                if st.pts is None or not active[st.pts].any():
                     continue
-                # one replicate-slice width for the whole chromosome so ONE
-                # prefix-sum build (sigma gather + one-hot cumsum, ~5 ms)
-                # serves every bucket's statistic dispatch.  Kernel cost
-                # scales with (reps x padded points), so small padded
-                # bucket sets take proportionally more replicates per
-                # dispatch (capped by the boost so slice shapes stay within
-                # the generated sigma); the factor is a power of 4 so each
-                # (rep, bucket) shape compiles once.
-                max_pts = max(b.n_pts for b in live)
-                # per-dispatch replicate slice: enough replicates to fill
-                # the point padding, but bounded so the [w_pad+1, P*R]
-                # int16 prefix buffer stays under ~1.6 GB (bigger slices
-                # amortize the per-dispatch tunnel latency that dominates
-                # pruning tails)
-                ps_rep_cap = max(
-                    1, 800_000_000 // max(w_pad * ht.n_rows, 1) // step_now
-                )
-                sub_b = step_now * min(
-                    HIST_POINT_BUCKET // max_pts, boost, ps_rep_cap
-                )
-                pad_b = -(-R_pad // sub_b) * sub_b
-
-                def chr_fn(sig, live=live, start=start, n=n, w_pad=w_pad):
-                    ps = _perm_ps(oh_table, sig, start=start, n=n,
-                                  w_pad=w_pad)
-                    return tuple(
-                        _hist_stat(
-                            ht.t3, b.points.bounds, b.points.fbar, ps,
-                            n_rep=sig.shape[0], n_cells=ht.n_cells,
-                            n_rows=ht.n_rows, n_alpha=ht.n_alpha,
-                            c_sub=32, n_pts=b.n_pts, Jf=b.Jf,
-                        )
-                        for b in live
+                if HIST_COMPACT:
+                    # geometry compaction: rebuild on the active set when
+                    # the padded point count at least halves or a rung of
+                    # the segment ladder drops — late pruning rounds then
+                    # run on small shapes instead of the setup-time padding
+                    n_act = int(active[st.pts].sum())
+                    live_chr = len(
+                        np.unique(result.chr_id[st.pts[active[st.pts]]])
                     )
+                    if (
+                        2 * _pad_pow2(max(n_act, 1), minimum=4)
+                        <= st.n_pts_pad
+                        or _ladder_pad(live_chr) < st.n_seg_pad
+                    ):
+                        st.rebuild(result, _active_by_chr(st, active))
 
+                q = st.sub_rep * nshard
+                R_pad = -(-R // q) * q
+                slices_total = R_pad // q
+                # per-dispatch slice count: fuse as many replicate slices
+                # as fit the wall target (binary decomposition, so each
+                # power-of-2 size compiles once)
+                m = max(
+                    1,
+                    int(_DISPATCH_TARGET_S / max(st.slice_cost_s(), 1e-4)),
+                )
+                m = 1 << (m.bit_length() - 1)
                 outs_slices = []
-                for r0 in range(0, pad_b, sub_b):
+                r0 = 0
+                rem = slices_total
+                while rem:
+                    d = min(m, rem)
+                    d = 1 << (d.bit_length() - 1)
+                    Rd = d * q
+                    sig = sigma_p[r0 : r0 + Rd]
                     if shard_now:
                         outs_slices.append(sharded_hist_permute(
-                            mesh, chr_fn,
-                            to_global(mesh, sigma_p[r0 : r0 + sub_b],
-                                      jax.sharding.PartitionSpec(
-                                          ("perm", "site"))),
-                            n_out=len(live),
+                            mesh,
+                            functools.partial(
+                                _stat_call, st, n_slices=d
+                            ),
+                            to_global(
+                                mesh, sig,
+                                jax.sharding.PartitionSpec(
+                                    ("perm", "site")
+                                ),
+                            ),
                         ))
                         last_stats["hist_sharded_dispatches"] += 1
                     else:
-                        outs_slices.append(chr_fn(sigma_p[r0 : r0 + sub_b]))
+                        outs_slices.append(_stat_call(st, sig, d))
                         last_stats["hist_unsharded_dispatches"] += 1
-                for k, b in enumerate(live):
-                    pending.append((b, [o[k] for o in outs_slices]))
+                    r0 += Rd
+                    rem -= d
+                pending.append((st, outs_slices))
             if pending:
-                # concatenate every bucket's [R, n_active] block device-side
+                # concatenate every group's [R, n_active] block device-side
                 # and read back ONCE per chunk
                 cat = jnp.concatenate(
                     [
-                        jnp.concatenate(outs, axis=0)[:R, : len(b.pts)]
-                        for b, outs in pending
+                        jnp.concatenate(outs, axis=0)[:R, : len(st.pts)]
+                        for st, outs in pending
                     ],
                     axis=1,
                 )
@@ -954,12 +1057,12 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                     else np.asarray(cat)
                 )
                 off = 0
-                for b, _ in pending:
+                for st, _ in pending:
                     _apply_round_updates(
-                        result, active, threshold, rng, cfg, b.pts,
-                        nm_cat[:, off : off + len(b.pts)], rounds_done, R,
+                        result, active, threshold, rng, cfg, st.pts,
+                        nm_cat[:, off : off + len(st.pts)], rounds_done, R,
                     )
-                    off += len(b.pts)
+                    off += len(st.pts)
 
             rounds_done += R
             _progress()

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import LOG_AD_MAX, LOG_AD_MIN
-from .pallas_ps import onehot_prefix_sums, ps_supported
+from .pallas_ps import TILE_W, onehot_prefix_sums, ps_supported
 from .windows import candidate_windows
 
 DEFAULT_N_ALPHA = 128
@@ -498,6 +498,33 @@ def build_prefix_sums_oh(oh2d):
     else:
         body = jnp.cumsum(oh2d.astype(jnp.int32), axis=0).astype(idt)
     return jnp.concatenate([jnp.zeros((1, L), body.dtype), body], axis=0)
+
+
+def build_prefix_sums_seg(oh2d, *, seg_len):
+    """[S*seg_len, L] segmented inclusive prefix sums of an i8 one-hot.
+
+    The running count resets at every segment boundary, so S stacked
+    chromosomes share one flat site axis (engine/permute.py _stack_stat)
+    while their prefix streams stay independent.  There is NO prepended
+    zero row: callers reserve masked (all-zero) leading rows per segment,
+    so the row at a segment's first real site already reads 0 from them.
+    int16 where per-segment counts fit (seg_len <= 32767) — counts never
+    cross segments, so the total length does not force int32.
+    """
+    W, L = oh2d.shape
+    assert W % seg_len == 0
+    idt = jnp.int16 if seg_len <= 32767 else jnp.int32
+    if (
+        jax.default_backend() != "cpu"
+        and ps_supported(W, L)
+        and seg_len % TILE_W == 0
+    ):
+        return onehot_prefix_sums(oh2d, out_dtype=idt, reset_every=seg_len)
+    S = W // seg_len
+    body = jnp.cumsum(
+        oh2d.reshape(S, seg_len, L).astype(jnp.int32), axis=1
+    ).astype(idt)
+    return body.reshape(W, L)
 
 
 def build_prefix_sums(row_rep, *, n_rows):

@@ -58,10 +58,16 @@ def ps_supported(w_pad, n_lanes):
     )
 
 
-def _kernel(n_rows, out_dtype, rows_ref, tril_ref, out_ref, carry_ref):
+def _kernel(n_rows, out_dtype, tiles_per_seg, rows_ref, tril_ref, out_ref,
+            carry_ref):
     j = pl.program_id(1)  # site-tile index (innermost grid axis)
 
-    @pl.when(j == 0)
+    # segmented mode: the running sum resets at every segment boundary
+    # (tiles_per_seg site-tiles per segment), so stacked chromosomes get
+    # independent prefix streams from one kernel launch
+    reset = (j == 0) if tiles_per_seg is None else (j % tiles_per_seg == 0)
+
+    @pl.when(reset)
     def _init():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
@@ -84,10 +90,11 @@ def _kernel(n_rows, out_dtype, rows_ref, tril_ref, out_ref, carry_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "out_dtype", "interpret")
+    jax.jit, static_argnames=("n_rows", "out_dtype", "reset_every",
+                              "interpret")
 )
 def onehot_prefix_sums(rows_expanded, *, n_rows=None, out_dtype=jnp.int16,
-                       interpret=False):
+                       reset_every=None, interpret=False):
     """Inclusive prefix sums of per-lane one-hots; [W, L] -> [W, L] int.
 
     With n_rows set, rows_expanded[w, p*R + r] holds row_p(w) as i32 (the
@@ -98,14 +105,22 @@ def onehot_prefix_sums(rows_expanded, *, n_rows=None, out_dtype=jnp.int16,
     which runs at the TPU's row-gather rate instead of the ~3x slower
     per-element rate.  Exclusive-prefix callers prepend a zero row (as
     with the XLA cumsum path).
+
+    reset_every: segmented mode — the running sum restarts every
+    ``reset_every`` sites (must be a multiple of TILE_W), giving each
+    stacked segment an independent prefix stream in one launch.
     """
     W, L = rows_expanded.shape
     assert W % TILE_W == 0 and L % 128 == 0
+    tiles_per_seg = None
+    if reset_every is not None:
+        assert reset_every % TILE_W == 0 and W % reset_every == 0
+        tiles_per_seg = reset_every // TILE_W
     tile_l = L if L <= TILE_L else TILE_L
     assert L % tile_l == 0
     tril = jnp.asarray(np.tril(np.ones((TILE_W, TILE_W), np.float32)))
     return pl.pallas_call(
-        functools.partial(_kernel, n_rows, out_dtype),
+        functools.partial(_kernel, n_rows, out_dtype, tiles_per_seg),
         out_shape=jax.ShapeDtypeStruct((W, L), out_dtype),
         # lanes on the OUTER axis, sites inner: the carry row persists
         # across the sequential site walk of each lane block

@@ -33,3 +33,35 @@ def test_ps_supported_gates():
     assert not ps_supported(4096, 8)  # single-replicate scan build
     assert ps_supported(4096, 8192)  # wide lanes block over the 2nd grid axis
     assert not ps_supported(4096, 2048 + 128)  # non-multiple of the lane tile
+
+
+def test_segmented_reset_matches_per_segment_cumsum():
+    """reset_every restarts the running sum at each segment boundary."""
+    rng = np.random.default_rng(7)
+    S, seg, L = 3, TILE_W * 2, 256
+    oh = (rng.random((S * seg, L)) < 0.3).astype(np.int8)
+    out = np.asarray(
+        onehot_prefix_sums(
+            jnp.asarray(oh), out_dtype=jnp.int16, reset_every=seg,
+            interpret=True,
+        )
+    )
+    ref = np.cumsum(
+        oh.reshape(S, seg, L).astype(np.int32), axis=1
+    ).reshape(S * seg, L).astype(np.int16)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_build_prefix_sums_seg_fallback():
+    """The XLA fallback (CPU backend) computes identical segmented sums."""
+    from fscl_tpu.ops.histclr import build_prefix_sums_seg
+
+    rng = np.random.default_rng(9)
+    S, seg, L = 4, 96, 64  # seg NOT a TILE_W multiple -> XLA path
+    oh = (rng.random((S * seg, L)) < 0.4).astype(np.int8)
+    out = np.asarray(build_prefix_sums_seg(jnp.asarray(oh), seg_len=seg))
+    ref = np.cumsum(
+        oh.reshape(S, seg, L).astype(np.int32), axis=1
+    ).reshape(S * seg, L)
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out.astype(np.int32), ref)
