@@ -118,12 +118,12 @@ def run_ours():
     # the second chunk's dispatches, which outweighs the second chunk's
     # fixed host overhead
     perm_cfg = PermuteConfig(n_permute=N_PERMUTE, chunk_replicates=32, seed=1)
+    # warmup = the FULL timed configuration: pruning-compacted chunks run
+    # on smaller shapes than the first chunk, and a partial warmup would
+    # leave those shapes to compile inside the timed pass
     warm = copy.deepcopy(result)
     t0 = time.monotonic()
-    scan_permute(
-        data, tables, warm, scan_cfg,
-        PermuteConfig(n_permute=32, chunk_replicates=32, seed=1),
-    )
+    scan_permute(data, tables, warm, scan_cfg, copy.deepcopy(perm_cfg))
     t_perm_cold = time.monotonic() - t0
 
     t0 = time.monotonic()
