@@ -7,8 +7,15 @@ Configs (see BASELINE.md "To measure"):
   ms_sweep    ms-simulated sweep scenario, 10 replicates, n=50, folded
   asc100k     one ~100k-site chromosome with K=2/M=20 ascertainment,
               10k permutations
+  mixed100k   ~100k sites over 4 chromosomes with 31 distinct sample
+              depths (missing-genotype subsampling) + 30% folded sites,
+              10k permutations — the compressed mixed-depth path
   genome1m    whole genome ~1M sites over 22 chromosomes, K>=2 rare-allele
               filter, 100k permutations with exceedance pruning
+
+Each config with both sides present also writes programmatic parity checks
+(compare_parity: per-interval CLR tolerance bands, max-CLR dominance,
+empirical-p agreement) into headline_results.json.
 
 Usage:  python bench/headline.py <config> [--ref-only|--ours-only]
 Results are merged into bench/headline_results.json.
@@ -125,6 +132,46 @@ def gen_asc100k():
     return path
 
 
+def gen_mixed100k():
+    """~100k sites over 4 chromosomes with 31 distinct sample depths.
+
+    The reference's mixed/missing-depth headline case (README.md:26):
+    per-site depth 20..50 drawn as hypergeometric subsamples of the n=50
+    simulation (what a VCF with missing genotype calls yields), 30% of
+    sites folded to minor-allele counts.
+    """
+    path = DATA / "headline_mixed100k.sf"
+    if path.exists():
+        return path
+    from fscl_tpu.sim import simulate_dataset
+
+    rng = np.random.default_rng(77)
+    rows = []
+    for c in range(4):
+        sim = simulate_dataset(
+            seed=300 + c, sample_size=50, snp_density=1.0, mb_length=26.0,
+            alpha=3e-5, n_sweeps=1,
+        )
+        n0 = sim["n"]
+        d = rng.integers(20, n0 + 1, len(sim["pos"]))
+        f = rng.hypergeometric(sim["freq"], n0 - sim["freq"], d)
+        folded = rng.random(len(d)) < 0.3
+        f = np.where(folded, np.minimum(f, d - f), f)
+        keep = (f >= 1) & (f <= d - 1)
+        rows.append(
+            (c + 1, sim["pos"][keep], f[keep], d[keep], folded[keep])
+        )
+    with open(path, "w") as fh:
+        for c, pos, fr, dd, fo in rows:
+            for p_, q, n_, b in zip(pos, fr, dd, fo):
+                fh.write(f"{c}\t{p_}\t{q}\t{n_}\t{int(b)}\n")
+    total = sum(len(r[1]) for r in rows)
+    n_depths = len(np.unique(np.concatenate([r[3] for r in rows])))
+    print(f"mixed100k: {total} sites, {n_depths} distinct depths",
+          file=sys.stderr)
+    return path
+
+
 def gen_genome1m():
     path = DATA / "headline_genome1m.sf"
     if path.exists():
@@ -194,6 +241,76 @@ def merge_results(name, entry):
     print(json.dumps({name: entry}, indent=2))
 
 
+def _read_tsv(path):
+    """[(chr, pos, clr, alpha, pcols...)] rows of a scan output TSV."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            p = line.split()
+            if len(p) >= 4:
+                rows.append((p[0], float(p[1]), float(p[2]), float(p[3]),
+                             p[4:]))
+    return rows
+
+
+def compare_parity(ours_tsv, ref_tsv, clr_rtol=0.02, clr_atol=0.5):
+    """Programmatic ours-vs-reference output agreement for one config.
+
+    Both scanners emit ONE row per coarse interval in (chr, interval)
+    order (scan-chromosome.c:731-745 / fscl_tpu/io/output.py), so rows
+    align positionally.  Checks (VERDICT r1 item 4):
+      * per-interval CLR agreement within tolerance bands (ours evaluates
+        a dense superset of the reference's greedy bisection probes, so
+        ours may exceed ref; a DEFICIT beyond tolerance is a failure);
+      * max-CLR dominance: our global max >= the reference's - atol;
+      * when both carry permutation columns, empirical-p sanity: mean
+        |p_ours - p_ref| bounded (different RNG streams — agreement is
+        statistical, not bitwise; PARITY.md).
+    Returns a dict merged into headline_results.json, with pass/fail.
+    """
+    ours = _read_tsv(ours_tsv)
+    ref = _read_tsv(ref_tsv)
+    out = {"parity_rows_ours": len(ours), "parity_rows_ref": len(ref)}
+    if len(ours) != len(ref):
+        out["parity_pass"] = False
+        out["parity_fail_reason"] = "row count mismatch"
+        return out
+    o_clr = np.array([r[2] for r in ours])
+    r_clr = np.array([r[2] for r in ref])
+    # deficit = ref found a higher max in an interval than our dense scan
+    deficit = r_clr - o_clr
+    tol = clr_atol + clr_rtol * np.abs(r_clr)
+    bad = deficit > tol
+    out["parity_max_deficit"] = round(float(deficit.max(initial=0.0)), 4)
+    out["parity_deficit_intervals"] = int(bad.sum())
+    out["parity_max_clr_ours"] = round(float(o_clr.max()), 2)
+    out["parity_max_clr_ref"] = round(float(r_clr.max()), 2)
+    ok = (
+        not bad.any()
+        and o_clr.max() >= r_clr.max() - clr_atol
+    )
+    # permutation p columns: ours col 4/5 = permute_p, permute_n when present
+    if ours and len(ours[0][4]) >= 2 and len(ref[0][4]) >= 2:
+        try:
+            po = np.array([
+                (int(r[4][0]) - 1) / max(int(r[4][1]) - 1, 1) for r in ours
+            ])
+            pr_ = np.array([
+                (int(r[4][0]) - 1) / max(int(r[4][1]) - 1, 1) for r in ref
+            ])
+            # statistical agreement: different RNG streams and permutation
+            # counts; compare where both sides resolved the p-value
+            both = (po >= 0) & (pr_ >= 0)
+            out["parity_p_mean_absdiff"] = round(
+                float(np.abs(po[both] - pr_[both]).mean()), 4
+            )
+            ok = ok and out["parity_p_mean_absdiff"] < 0.15
+        except (ValueError, ZeroDivisionError):
+            pass
+    out["parity_pass"] = bool(ok)
+    return out
+
+
 # ---------------------------------------------------------------- configs
 
 def cfg_ms_neutral(args):
@@ -242,7 +359,8 @@ def cfg_ms_sweep(args):
 
 
 def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
-                     chunk_replicates=32, null_dist_save=10000):
+                     chunk_replicates=32, null_dist_save=10000,
+                     out_tsv=None):
     """Library-level run with phase walls (scan vs permutation)."""
     from fscl_tpu.engine import (
         PermuteConfig, ScanConfig, scan_genome, scan_permute,
@@ -282,6 +400,10 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
     scan_permute(data, tables, result, scan_cfg, pc)
     t_perm = time.monotonic() - t0
     pr = int(result.permute_n.sum())
+    if out_tsv is not None:
+        from fscl_tpu.io import scan_output
+
+        scan_output(str(out_tsv), data, result, n_permute=n_permute)
     return dict(
         n_sites=int(data.n_snps),
         n_points=int(result.n_points),
@@ -300,10 +422,12 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
 def cfg_asc100k(args):
     path = gen_asc100k()
     out = {}
+    ours_out = DATA / "headline_asc100k.ours.tsv"
+    ref_out = DATA / "headline_asc100k.ref.tsv"
     if not args.ref_only:
-        out.update(_run_ours_phased(path, 10_000, asc_depth=20, asc_min=2))
+        out.update(_run_ours_phased(path, 10_000, asc_depth=20, asc_min=2,
+                                    out_tsv=ours_out))
     if not args.ours_only:
-        ref_out = DATA / "headline_asc100k.ref.tsv"
         n_ref = int(args.ref_permute or 100)
         w_scan = run_ref(["-f", str(path), "-o", str(ref_out),
                           "-d", "20", "--asc-minimum-freq=2", "-v", "0"])
@@ -316,16 +440,43 @@ def cfg_asc100k(args):
             ref_perm_s=round(w - w_scan, 2), ref_point_rounds=pr,
             ref_point_rounds_per_s=round(pr / max(w - w_scan, 1e-9), 2),
         )
+    if ours_out.exists() and ref_out.exists():
+        out.update(compare_parity(ours_out, ref_out))
     merge_results("asc100k", out)
+
+
+def cfg_mixed100k(args):
+    """Mixed/missing-depth headline: 31 distinct depths + folded mix."""
+    path = gen_mixed100k()
+    out = {}
+    ours_out = DATA / "headline_mixed100k.ours.tsv"
+    ref_out = DATA / "headline_mixed100k.ref.tsv"
+    if not args.ref_only:
+        out.update(_run_ours_phased(path, 10_000, out_tsv=ours_out))
+    if not args.ours_only:
+        n_ref = int(args.ref_permute or 50)
+        w_scan = run_ref(["-f", str(path), "-o", str(ref_out), "-v", "0"])
+        w = run_ref(["-f", str(path), "-o", str(ref_out),
+                     "-p", str(n_ref), "-v", "0"])
+        pr = point_rounds_from_tsv(ref_out)
+        out.update(
+            ref_scan_s=round(w_scan, 2), ref_n_permute=n_ref,
+            ref_perm_s=round(w - w_scan, 2), ref_point_rounds=pr,
+            ref_point_rounds_per_s=round(pr / max(w - w_scan, 1e-9), 2),
+        )
+    if ours_out.exists() and ref_out.exists():
+        out.update(compare_parity(ours_out, ref_out))
+    merge_results("mixed100k", out)
 
 
 def cfg_genome1m(args):
     path = gen_genome1m()
     out = {}
+    ours_out = DATA / "headline_genome1m.ours.tsv"
+    ref_out = DATA / "headline_genome1m.ref.tsv"
     if not args.ref_only:
-        out.update(_run_ours_phased(path, 100_000))
+        out.update(_run_ours_phased(path, 100_000, out_tsv=ours_out))
     if not args.ours_only:
-        ref_out = DATA / "headline_genome1m.ref.tsv"
         n_ref = int(args.ref_permute or 20)
         w_scan = run_ref(["-f", str(path), "-o", str(ref_out), "-v", "0"])
         w = run_ref(["-f", str(path), "-o", str(ref_out),
@@ -336,11 +487,14 @@ def cfg_genome1m(args):
             ref_perm_s=round(w - w_scan, 2), ref_point_rounds=pr,
             ref_point_rounds_per_s=round(pr / max(w - w_scan, 1e-9), 2),
         )
+    if ours_out.exists() and ref_out.exists():
+        out.update(compare_parity(ours_out, ref_out))
     merge_results("genome1m", out)
 
 
 CONFIGS = dict(ms_neutral=cfg_ms_neutral, ms_sweep=cfg_ms_sweep,
-               asc100k=cfg_asc100k, genome1m=cfg_genome1m)
+               asc100k=cfg_asc100k, mixed100k=cfg_mixed100k,
+               genome1m=cfg_genome1m)
 
 
 def main():

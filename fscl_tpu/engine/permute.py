@@ -46,6 +46,7 @@ from ..ops.histclr import (
     hist_supported,
     make_hist_device_arrays,
     make_row_onehot_group_table,
+    make_row_weight_group_table,
 )
 from ..ops.lattice import LatticeTables, _two_stage_impl
 from ..ops.permute import (
@@ -633,7 +634,9 @@ def _stack_stat(oh_table, sigma8, seg_g0, seg_off, seg_n, bounds, fbar, t3,
             n_seg, G_loc * PERM_GROUP, sub_rep, n_rows
         )[:, : w_seg_p - 1]
         oh = jnp.pad(oh, ((0, 0), (1, 0), (0, 0), (0, 0)))
-        oh = jnp.where(site_ok[:, :, None, None], oh, jnp.int8(0))
+        oh = jnp.where(
+            site_ok[:, :, None, None], oh, jnp.zeros((), oh.dtype)
+        )
         ps = build_prefix_sums_seg(
             oh.reshape(n_seg * w_seg_p, sub_rep * n_rows), seg_len=w_seg_p
         )
@@ -732,9 +735,11 @@ class _StackGroup:
         self.seg_off = jnp.asarray(off)
         self.seg_n = jnp.asarray(nn)
         # largest replicate slice whose transient [S*w, P*R] buffers fit
+        # (compressed weight channels are f32, 2x the int16 one-hot bytes)
+        bpe = 4 if ht.weights is not None else 2
         p = HIST_REP_SUB * 2
         while p > 1 and (
-            S_pad * self.w_seg_p * p * ht.n_rows * 2 > _PS_BUDGET
+            S_pad * self.w_seg_p * p * ht.n_rows * bpe > _PS_BUDGET
         ):
             p //= 2
         self.sub_rep = p
@@ -742,11 +747,13 @@ class _StackGroup:
     def slice_cost_s(self):
         """Rough per-replicate-slice wall estimate (dispatch budgeting)."""
         ht = self.ht
+        bpe = 4 if ht.weights is not None else 2
         ps_bytes = (
-            self.n_seg_pad * self.w_seg_p * self.sub_rep * ht.n_rows * 5
+            self.n_seg_pad * self.w_seg_p * self.sub_rep * ht.n_rows
+            * (bpe + 3)
         )
         rows = self.n_pts_pad * self.Jf * 2 * (ht.n_cells + 1)
-        gbytes = rows * self.sub_rep * ht.n_rows * 2
+        gbytes = rows * self.sub_rep * ht.n_rows * bpe
         flops = (
             self.n_pts_pad * self.Jf * ht.n_alpha * self.sub_rep
             * 2 * ht.n_cells * ht.n_rows * 2
@@ -792,7 +799,11 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     )
     assert ht is not None  # caller gated on hist_supported + geometry
     row_cg = jnp.asarray(ht.row_map[np.asarray(data.row)].astype(np.int32))
-    oh_table = make_row_onehot_group_table(row_cg, n_rows=ht.n_rows)
+    oh_table = (
+        make_row_onehot_group_table(row_cg, n_rows=ht.n_rows)
+        if ht.weights is None
+        else make_row_weight_group_table(row_cg, ht.weights)
+    )
     gpos = data.genome_pos()
     width_bp = cfg.scan_width_mb * 1e6
     n_groups = oh_table.shape[0] - 1  # sentinel row index

@@ -242,7 +242,7 @@ class _HistScanContext:
         clr = hist_clr(
             ht.t3, hp.bounds, hp.fbar, self.row_c,
             n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
-            c_sub=64,
+            c_sub=64, weights=ht.weights,
         )[: len(cand_flat)]
         a = jnp.argmax(clr, axis=1)
         best = jnp.take_along_axis(clr, a[:, None], axis=1)[:, 0]
@@ -302,6 +302,9 @@ def make_scan_hist_tables(data, tables, n_alpha=128, decimate=1):
         ht = build_hist_tables(
             tables.table, tables.grid_points, null_row, rows_used,
             extent_bp=max(extents) + 1, n_alpha=n_alpha, decimate=decimate,
+            site_row_counts=np.bincount(
+                row, minlength=tables.table.shape[0]
+            ),
         )
     cache[key] = ht
     return ht

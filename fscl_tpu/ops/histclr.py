@@ -55,12 +55,24 @@ from .pallas_ps import TILE_W, onehot_prefix_sums, ps_supported
 from .windows import candidate_windows
 
 DEFAULT_N_ALPHA = 128
-ROWS_MAX = 128  # gate: fall back to the lattice kernel above this
+ROWS_MAX = 128  # exact one-hot gate: above this the builder compresses
+COMPRESS_ROWS_MAX = 8192  # hard cap for the SVD row-compression path
+COMPRESS_TOL = 1e-3  # max-entry residual target for the rank choice
 SITES_MAX = 4_000_000  # [W, R] state cap
 
 
 def hist_supported(n_rows_used, n_sites):
-    return n_rows_used <= ROWS_MAX and n_sites <= SITES_MAX
+    """Whether the histogram engine covers this dataset.
+
+    Up to ROWS_MAX distinct (depth, folded, freq) rows run the exact int16
+    one-hot formulation; above that — the reference's mixed/missing-depth
+    headline case (README.md:26, background-fsp.c:248-266, sm-search.c:
+    85-103), where real SNP data has dozens of distinct depths — rows are
+    SVD-compressed to ~32 f32 weight channels (the sweep-model row family
+    is numerically low-rank), so cost stays at single-depth scale however
+    many depths the data holds.
+    """
+    return n_rows_used <= COMPRESS_ROWS_MAX and n_sites <= SITES_MAX
 
 
 def dense_alpha_offsets(grid_points, n_alpha=DEFAULT_N_ALPHA):
@@ -76,17 +88,22 @@ class HistTables:
     rows_used: np.ndarray  # [R_used] original row ids (sorted)
     row_map: np.ndarray  # [n_rows_total] -> compact id (R_used for absent)
     n_cells: int  # NC
-    n_rows: int  # R (padded compact row count)
+    n_rows: int  # R (padded compact row count, or weight-channel count)
     n_alpha: int
     grid_points: int  # lattice points actually packed (after decimation)
     step: float  # log_ad pitch between packed lattice points
     offsets: np.ndarray  # [A] absolute lattice offsets
     lalpha: np.ndarray  # [A] f32 log-alpha values
+    # compressed (mixed-depth) mode: [R_used + 1, n_rows] f32 per-row weight
+    # channels (SVD factors, site-mean-centered, + a count channel; last row
+    # = all-zero padding sentinel).  None = exact one-hot mode.
+    weights: jax.Array | None = None
 
 
 def build_hist_tables(
     table_np, grid_points, null_row, rows_used, extent_bp,
     n_alpha=DEFAULT_N_ALPHA, row_pad=8, decimate=1,
+    site_row_counts=None, compress=None,
 ):
     """Pack (table - null) rows for the histogram contraction.
 
@@ -103,7 +120,20 @@ def build_hist_tables(
     whose winners are re-evaluated exactly).  The top (G-1) % s fine cells
     of the log_ad range are dropped (~0.04 log units at s=4): immaterial,
     the table plateaus to the background there (LOG_AD_MAX cutoff).
+
+    compress (default: auto when len(rows_used) > ROWS_MAX): SVD-compress
+    the row family to f32 weight channels — the mixed/missing-depth path;
+    site_row_counts ([n_rows_total] site counts) weights the channel
+    centering by the actual site mix.
     """
+    if compress is None:
+        compress = len(rows_used) > ROWS_MAX
+    if compress:
+        return _build_hist_tables_compressed(
+            table_np, grid_points, null_row, rows_used, extent_bp,
+            n_alpha=n_alpha, row_pad=row_pad, decimate=decimate,
+            site_row_counts=site_row_counts,
+        )
     s = max(int(decimate), 1)
     if s > 1:
         cols = np.arange(0, grid_points, s)
@@ -163,6 +193,106 @@ def _device_pack(sub_d, nr_d, idx0_d, idx1_d, act_d, *, row_pad):
     out = jnp.pad(jnp.stack([t0, t1]), pad)
     nc, a = act_d.shape
     return out.reshape(2 * nc * row_pad, a)
+
+
+def _build_hist_tables_compressed(
+    table_np, grid_points, null_row, rows_used, extent_bp,
+    n_alpha, row_pad, decimate, site_row_counts, tol=COMPRESS_TOL,
+):
+    """SVD row compression: the mixed/missing-depth fast path.
+
+    The reference's headline "mixed sample depths per site" feature
+    (README.md:26) gives real SNP data dozens of distinct depths; the
+    exact one-hot formulation's cost scales with the distinct-row count R
+    (prefix width, gather bytes, matmul K).  But the packed row family
+    M[row, g] = log P(freq | log_ad) - null_logl(row) is NUMERICALLY
+    LOW-RANK (depths derive from one spectrum by smooth hypergeometric
+    downsampling, background-fsp.c:72-88): rank ~24-32 reproduces 1589
+    rows (31 depths, folded+unfolded) to ~1e-5 max entry error.
+
+    So factor M ~= Uw @ V (host SVD, f64) and replace each site's one-hot
+    row indicator with its f32 weight vector Uw[row] — prefix sums of
+    weights instead of counts; the downstream bounds-gather/contraction
+    kernels are unchanged (t3 rows become V rows).  Channels are centered
+    by the site-mix mean (prefix magnitudes then grow as sqrt(W), keeping
+    pairwise f32 summation error ~0.03 CLR per window at 778k sites) with
+    one count channel restoring the means exactly.  Cost becomes
+    independent of the number of distinct depths.
+
+    The compression error (~tol per entry) is selection-grade: scan
+    winners are re-evaluated exactly by the lattice kernel, and the
+    permutation test applies the identical compressed functional to
+    observed thresholds and null replicates (a valid Monte-Carlo test,
+    same argument as lattice decimation).
+    """
+    s = max(int(decimate), 1)
+    cols = np.arange(0, grid_points, s)
+    step = (LOG_AD_MAX - LOG_AD_MIN) / (grid_points - 1) * s
+    G = len(cols)
+    inv_step = 1.0 / step
+    NC = min(G, int(np.log(max(float(extent_bp), 2.0)) * inv_step) + 2)
+    q = dense_alpha_offsets(G, n_alpha)
+    A = len(q)
+    rows_used = np.asarray(rows_used, dtype=np.int64)
+    Ru = len(rows_used)
+    row_map = np.full(np.asarray(table_np).shape[0], Ru, dtype=np.int32)
+    row_map[rows_used] = np.arange(Ru, dtype=np.int32)
+
+    M = (
+        np.asarray(table_np, dtype=np.float64)[rows_used][:, cols]
+        - np.asarray(null_row, dtype=np.float64)[rows_used][:, None]
+    )
+    U, S, Vt = np.linalg.svd(M, full_matrices=False)
+    r = None
+    for cand_r in (8, 16, 24, 32, 48, 64, 96):
+        if cand_r >= len(S):
+            r = len(S)
+            break
+        resid = np.abs(M - (U[:, :cand_r] * S[:cand_r]) @ Vt[:cand_r]).max()
+        if resid < tol:
+            r = cand_r
+            break
+    r = r or 96
+    Uw = U[:, :r] * S[:r]  # [Ru, r]
+    V = Vt[:r]  # [r, G]
+
+    if site_row_counts is not None:
+        cnt = np.asarray(site_row_counts, dtype=np.float64)[rows_used]
+    else:
+        cnt = np.ones(Ru)
+    mu = (cnt @ Uw) / max(cnt.sum(), 1.0)  # site-mix channel means
+    Vhat = np.concatenate([V, (mu @ V)[None, :]], axis=0)  # [r+1, G]
+    Wt = np.concatenate(
+        [Uw - mu[None, :], np.ones((Ru, 1))], axis=1
+    )  # [Ru, r+1]: centered channels + count channel
+
+    R = -(-(r + 1) // row_pad) * row_pad
+    Wt = np.pad(Wt, ((0, 1), (0, R - (r + 1))))  # + zero sentinel row
+    Vhat = np.pad(Vhat, ((0, R - (r + 1)), (0, 0)))
+
+    i = np.arange(NC)[:, None]
+    idx0 = i + q[None, :]
+    active = (idx0 <= G - 1).astype(np.float32)
+    sub_d = jnp.asarray(Vhat.astype(np.float32))  # [R, G]
+    nr_d = jnp.zeros(R, jnp.float32)  # null already inside M
+    idx0_d = jnp.asarray(np.clip(idx0, 0, G - 1).astype(np.int32))
+    idx1_d = jnp.asarray(np.clip(idx0 + 1, 0, G - 1).astype(np.int32))
+    act_d = jnp.asarray(active)
+
+    lalpha = (LOG_AD_MIN + q.astype(np.float64) * step).astype(np.float32)
+    return HistTables(
+        t3=_device_pack(sub_d, nr_d, idx0_d, idx1_d, act_d, row_pad=R),
+        rows_used=rows_used,
+        row_map=row_map,
+        n_cells=NC,
+        n_rows=R,
+        n_alpha=A,
+        grid_points=G,
+        step=float(step),
+        offsets=q,
+        lalpha=lalpha,
+        weights=jnp.asarray(Wt.astype(np.float32)),
+    )
 
 
 @dataclasses.dataclass
@@ -402,23 +532,34 @@ def make_hist_device_arrays(ht: HistTables, pos_np):
     static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub"),
 )
 def hist_clr(t3, bounds, fbar, row_compact,
-             *, n_cells, n_rows, n_alpha, c_sub=64):
+             *, n_cells, n_rows, n_alpha, c_sub=64, weights=None):
     """CLR[c, a] for every (candidate, dense lattice alpha).
 
     row_compact: [Wpad] i32 compact row ids (>= n_rows for padding — such
     sites vanish from the one-hot).  bounds/fbar from build_hist_points.
-    Returns [C, A] f32.
+    weights: compressed-mode [Ru+1, n_rows] f32 channel table (the row id
+    then selects a weight vector instead of a one-hot).  Returns [C, A].
     """
     NC, R, A = n_cells, n_rows, n_alpha
     W = row_compact.shape[0]
-    # prefix sums in the narrowest exact integer type: int16 when counts
-    # (<= W) fit — halves the bounds-gather traffic, the kernel's main cost
-    idt = jnp.int16 if W <= 32767 else jnp.int32
-    oh = (row_compact[:, None] == jnp.arange(R, dtype=jnp.int32)[None, :])
-    ps = jnp.concatenate(
-        [jnp.zeros((1, R), jnp.int32),
-         jnp.cumsum(oh.astype(jnp.int32), axis=0)], axis=0
-    ).astype(idt)  # [W+1, R]
+    if weights is not None:
+        wt = weights[row_compact]  # [W, R] f32; sentinel rows -> zeros
+        ps = jnp.concatenate(
+            [jnp.zeros((1, R), jnp.float32),
+             jax.lax.associative_scan(jnp.add, wt, axis=0)], axis=0
+        )  # pairwise: f32 error stays ulp-scale on centered channels
+    else:
+        # prefix sums in the narrowest exact integer type: int16 when
+        # counts (<= W) fit — halves the bounds-gather traffic, the
+        # kernel's main cost
+        idt = jnp.int16 if W <= 32767 else jnp.int32
+        oh = (
+            row_compact[:, None] == jnp.arange(R, dtype=jnp.int32)[None, :]
+        )
+        ps = jnp.concatenate(
+            [jnp.zeros((1, R), jnp.int32),
+             jnp.cumsum(oh.astype(jnp.int32), axis=0)], axis=0
+        ).astype(idt)  # [W+1, R]
 
     C = bounds.shape[0]
     n_chunks = -(-C // c_sub)
@@ -429,7 +570,7 @@ def hist_clr(t3, bounds, fbar, row_compact,
         fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
     b_c = bounds.reshape(n_chunks, c_sub, 2, NC + 1)
     f_c = fbar.reshape(n_chunks, c_sub, 2, NC)
-    sign = jnp.array([-1, 1], idt)[None, :, None, None]
+    sign = jnp.array([-1, 1], ps.dtype)[None, :, None, None]
 
     def one_chunk(carry, args):
         bc, fc = args
@@ -485,6 +626,29 @@ def make_row_onehot_group_table(row_compact, *, n_rows):
     )
 
 
+@jax.jit
+def make_row_weight_group_table(row_compact, weights):
+    """[G+1, PERM_GROUP*R] f32 weight table packed PERM_GROUP sites/row.
+
+    The compressed-mode analogue of make_row_onehot_group_table: each
+    site's one-hot indicator is replaced by its f32 weight-channel vector
+    (SVD factors, ops/histclr.py _build_hist_tables_compressed), so the
+    permutation driver's group-level row gather and segmented prefix sums
+    work identically — at a width set by the compression rank, not the
+    distinct-row count.  Row G is the all-zero padding sentinel.
+    """
+    from .permute import PERM_GROUP
+
+    W = row_compact.shape[0]
+    R = weights.shape[1]
+    G = -(-W // PERM_GROUP) if W else 1
+    wt = weights[row_compact]  # [W, R]; sentinel row ids -> zero rows
+    wt = jnp.pad(wt, ((0, G * PERM_GROUP - W), (0, 0)))
+    return jnp.pad(
+        wt.reshape(G, PERM_GROUP * R), ((0, 1), (0, 0))
+    )
+
+
 def build_prefix_sums_oh(oh2d):
     """[W+1, L] prefix sums of a [W, L] i8 one-hot stream.
 
@@ -510,17 +674,31 @@ def build_prefix_sums_seg(oh2d, *, seg_len):
     so the row at a segment's first real site already reads 0 from them.
     int16 where per-segment counts fit (seg_len <= 32767) — counts never
     cross segments, so the total length does not force int32.
+
+    Float input (the compressed mixed-depth weight channels) keeps f32:
+    the Pallas kernel uses a two-limb compensated carry, and the XLA
+    fallback a pairwise associative scan — both keep the summation error
+    ~ulp-scale on sqrt(W)-magnitude centered weight streams.
     """
     W, L = oh2d.shape
     assert W % seg_len == 0
-    idt = jnp.int16 if seg_len <= 32767 else jnp.int32
+    is_f = jnp.issubdtype(oh2d.dtype, jnp.floating)
     if (
         jax.default_backend() != "cpu"
         and ps_supported(W, L)
         and seg_len % TILE_W == 0
     ):
-        return onehot_prefix_sums(oh2d, out_dtype=idt, reset_every=seg_len)
+        odt = jnp.float32 if is_f else (
+            jnp.int16 if seg_len <= 32767 else jnp.int32
+        )
+        return onehot_prefix_sums(oh2d, out_dtype=odt, reset_every=seg_len)
     S = W // seg_len
+    if is_f:
+        return jax.lax.associative_scan(
+            jnp.add, oh2d.reshape(S, seg_len, L).astype(jnp.float32),
+            axis=1,
+        ).reshape(W, L)
+    idt = jnp.int16 if seg_len <= 32767 else jnp.int32
     body = jnp.cumsum(
         oh2d.reshape(S, seg_len, L).astype(jnp.int32), axis=1
     ).astype(idt)

@@ -71,7 +71,7 @@ def _kernel(n_rows, out_dtype, tiles_per_seg, rows_ref, tril_ref, out_ref,
     def _init():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    if n_rows is None:  # input is already a one-hot (int8)
+    if n_rows is None:  # input is already a one-hot (i8) or f32 weights
         oh = rows_ref[...].astype(jnp.float32)
     else:
         lanes = rows_ref.shape[1]
@@ -84,9 +84,24 @@ def _kernel(n_rows, out_dtype, tiles_per_seg, rows_ref, tril_ref, out_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    total = cs + carry_ref[...]
+    if carry_ref.shape[0] == 2:
+        # float mode: two-limb compensated (Kahan) carry — the sequential
+        # tile-total additions would otherwise accumulate O(n_tiles * eps *
+        # |prefix|) error on large-magnitude weight streams; the limbs keep
+        # the carry error at ~1 ulp independent of segment length
+        hi = carry_ref[0:1, :]
+        lo = carry_ref[1:2, :]
+        total = cs + hi + lo
+        tot = cs[TILE_W - 1 : TILE_W, :]
+        s = hi + tot
+        bv = s - hi
+        err = (hi - (s - bv)) + (tot - bv)
+        carry_ref[0:1, :] = s
+        carry_ref[1:2, :] = lo + err
+    else:
+        total = cs + carry_ref[...]
+        carry_ref[...] = total[TILE_W - 1 : TILE_W, :]
     out_ref[...] = total.astype(out_dtype)
-    carry_ref[...] = total[TILE_W - 1 : TILE_W, :]
 
 
 @functools.partial(
@@ -118,6 +133,7 @@ def onehot_prefix_sums(rows_expanded, *, n_rows=None, out_dtype=jnp.int16,
         tiles_per_seg = reset_every // TILE_W
     tile_l = L if L <= TILE_L else TILE_L
     assert L % tile_l == 0
+    carry_rows = 2 if jnp.issubdtype(jnp.dtype(out_dtype), np.floating) else 1
     tril = jnp.asarray(np.tril(np.ones((TILE_W, TILE_W), np.float32)))
     return pl.pallas_call(
         functools.partial(_kernel, n_rows, out_dtype, tiles_per_seg),
@@ -130,6 +146,6 @@ def onehot_prefix_sums(rows_expanded, *, n_rows=None, out_dtype=jnp.int16,
             pl.BlockSpec((TILE_W, TILE_W), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((TILE_W, tile_l), lambda i, j: (j, i)),
-        scratch_shapes=[pltpu.VMEM((1, tile_l), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((carry_rows, tile_l), jnp.float32)],
         interpret=interpret,
     )(rows_expanded, tril)

@@ -169,7 +169,9 @@ def test_hist_dense_alpha_max_dominates_staged_search():
 
 def test_hist_supported_gate():
     assert hist_supported(50, 100_000)
-    assert not hist_supported(4000, 100_000)
+    # mixed-depth row counts above ROWS_MAX are supported via compression
+    assert hist_supported(4000, 100_000)
+    assert not hist_supported(20_000, 100_000)
     assert not hist_supported(50, 10_000_000)
 
 
