@@ -358,6 +358,34 @@ def cfg_ms_sweep(args):
     merge_results("ms_sweep", out)
 
 
+def _pvalue_calibration(result):
+    """Projected-vs-empirical p calibration over well-resolved points.
+
+    VERDICT r1 item 8: on points with permute_p >= 20 (the pruning
+    threshold — their empirical p is resolved to ~20 exceedances), the
+    chi-square tail projection (engine/pvalues.py) must reproduce the
+    empirical p.  Reports quantiles of |log10(proj / emp)|; ~0.3 means
+    within 2x, which is the practical agreement bar for a tail fit from
+    <=10k null samples.
+    """
+    from fscl_tpu.engine.pvalues import empirical_pvalues, projected_pvalues
+
+    sel = np.asarray(result.permute_p) >= 20
+    if not sel.any():
+        return {}
+    emp = empirical_pvalues(result.permute_p, result.permute_n)[sel]
+    proj = projected_pvalues(result)[sel]
+    ok = np.isfinite(proj) & (proj > 0) & (emp > 0)
+    if not ok.any():
+        return {}
+    lr = np.abs(np.log10(proj[ok] / emp[ok]))
+    return dict(
+        pcal_points=int(ok.sum()),
+        pcal_log10_median=round(float(np.median(lr)), 3),
+        pcal_log10_q90=round(float(np.quantile(lr, 0.9)), 3),
+    )
+
+
 def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
                      chunk_replicates=32, null_dist_save=10000,
                      out_tsv=None):
@@ -404,7 +432,9 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
         from fscl_tpu.io import scan_output
 
         scan_output(str(out_tsv), data, result, n_permute=n_permute)
+    extra = _pvalue_calibration(result)
     return dict(
+        **extra,
         n_sites=int(data.n_snps),
         n_points=int(result.n_points),
         ours_load_s=round(t_load, 2),

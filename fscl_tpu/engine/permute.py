@@ -314,6 +314,7 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
         hist_sharded_dispatches=0,
         hist_unsharded_dispatches=0,
         lattice_dispatches=0,
+        lattice_sharded_dispatches=0,
     )
     if cfg.use_hist:
         from ..ops.histclr import hist_geometry_ok
@@ -398,6 +399,25 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
             )
     active = ~result.permute_finished.copy()
 
+    # replicate sharding over the device mesh, mirroring the hist path:
+    # the lattice statistic is embarrassingly parallel over replicates
+    ndev = jax.device_count()
+    mesh = None
+    rep_step = REP_SUB
+    if ndev > 1:
+        from ..parallel import make_scan_mesh
+        from ..parallel.shard import (
+            gather_to_host, sharded_permute_reps, to_global,
+        )
+
+        mesh = make_scan_mesh()
+        rep_step = REP_SUB * ndev
+        logmsg(
+            MSG_STATUS,
+            "Lattice permutation replicates sharded over %d devices "
+            "(%d processes)", ndev, jax.process_count(),
+        )
+
     def _progress():
         cr_logmsg(
             MSG_STATUS,
@@ -411,20 +431,15 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
             R = min(cfg.chunk_replicates, cfg.n_permute - rounds_done)
             # replicate keys derive from absolute indices, so a resumed run
             # replays the identical permutation stream whatever the chunking
-            sigma = block_permutation_indices(
-                key0, gpos, width_bp, R, start=rounds_done
+            # shard only when the replicate padding stays reasonable
+            shard_now = (
+                mesh is not None
+                and -(-R // rep_step) * rep_step <= 2 * R
             )
-
-            # pad the replicate axis to a multiple of REP_SUB by repeating
-            # the last row (extra results are discarded) so every dispatch
-            # has the one compiled shape (REP_SUB x POINT_BUCKET)
-            R_pad = -(-R // REP_SUB) * REP_SUB
-            sigma_p = (
-                jnp.concatenate(
-                    [sigma, jnp.tile(sigma[-1:], (R_pad - R, 1))], axis=0
-                )
-                if R_pad != R
-                else sigma
+            step_now = rep_step if shard_now else REP_SUB
+            R_pad = -(-R // step_now) * step_now
+            sigma = block_permutation_indices(
+                key0, gpos, width_bp, R_pad, start=rounds_done
             )
 
             for ctx in chr_ctx:
@@ -438,20 +453,42 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
                         result, act, fixed_bucket=POINT_BUCKET
                     )
                     outs = []
-                    for r0 in range(0, R_pad, REP_SUB):
-                        last_stats["lattice_dispatches"] += 1
-                        outs.append(
-                            _permute_batch_chr(
-                                *packs, row_gen, null_gen,
-                                sigma_p[r0 : r0 + REP_SUB],
+                    for r0 in range(0, R_pad, step_now):
+
+                        def stat_fn(sig_l, cand=cand, lo=lo, hi=hi,
+                                    ist=ist, ien=ien, n_pts_pad=n_pts_pad,
+                                    J=J, ctx=ctx):
+                            return _permute_batch_chr(
+                                *packs, row_gen, null_gen, sig_l,
                                 ctx.pos_pad, cand, lo, hi, ist, ien,
                                 grid_points=G, chunk=ctx.chunk,
                                 start=ctx.start, n=ctx.n, w_pad=ctx.w_pad,
                                 eval_range=ctx.eval_range,
                                 n_pts=n_pts_pad, J=J,
                             )
-                        )
-                    nm = np.concatenate([np.asarray(o) for o in outs], axis=0)
+
+                        if shard_now:
+                            last_stats["lattice_sharded_dispatches"] += 1
+                            outs.append(sharded_permute_reps(
+                                mesh, stat_fn,
+                                to_global(
+                                    mesh, sigma[r0 : r0 + step_now],
+                                    jax.sharding.PartitionSpec(
+                                        ("perm", "site")
+                                    ),
+                                ),
+                            ))
+                        else:
+                            last_stats["lattice_dispatches"] += 1
+                            outs.append(stat_fn(sigma[r0 : r0 + step_now]))
+                    cat = (
+                        jnp.concatenate(outs, axis=0) if len(outs) > 1
+                        else outs[0]
+                    )
+                    nm = (
+                        gather_to_host(cat) if mesh is not None
+                        else np.asarray(cat)
+                    )
                     group_mats.append((act, nm[:R, : len(act)]))
 
                 for act, null_max in group_mats:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -132,7 +133,7 @@ def chromosome_candidates(cl, cfg):
 class _ChromosomeBlock:
     """Device-resident padded site arrays for one chromosome."""
 
-    def __init__(self, data, cl, lattice_tables):
+    def __init__(self, data, cl, lattice_tables, mesh=None):
         sl = slice(cl.start_index, cl.start_index + cl.n_snps)
         n = cl.n_snps
         w_pad = _pad_sites(n)
@@ -149,6 +150,7 @@ class _ChromosomeBlock:
         self.row = jnp.asarray(row)
         self.null = jnp.asarray(null)
         self.lt = lattice_tables
+        self.mesh = mesh
 
     def eval_candidates_device(self, cand_flat, cfg):
         """Enqueue the exact three-stage evaluation; returns a [2, P_pad]
@@ -173,22 +175,38 @@ class _ChromosomeBlock:
         ns, lo, hi = candidate_windows(self.pos_np, cand_flat, cfg.eval_range)
         P = len(cand_flat)
         p_pad = _pad_pow2(P, minimum=256)
+        if self.mesh is not None:
+            p_pad = -(-p_pad // self.mesh.size) * self.mesh.size
         cand_d = np.zeros(p_pad, dtype=np.int32)
         cand_d[:P] = cand_flat
         lo_d = np.ones(p_pad, dtype=np.int32)
         hi_d = np.zeros(p_pad, dtype=np.int32)
         lo_d[:P] = lo
         hi_d[:P] = hi
-        clr, la = two_stage_lattice_max(
-            self.lt,
-            self.row if row is None else row,
-            self.pos,
-            self.null if null is None else null,
-            jnp.asarray(cand_d),
-            jnp.asarray(lo_d),
-            jnp.asarray(hi_d),
-            chunk=cfg.chunk,
-        )
+        if self.mesh is not None:
+            # candidates sharded over every mesh device — the TPU form of
+            # the reference's pthread scan work queue
+            from ..parallel.shard import sharded_scan_eval
+
+            clr, la = sharded_scan_eval(
+                self.mesh, self.lt,
+                self.row if row is None else row,
+                self.pos,
+                self.null if null is None else null,
+                jnp.asarray(cand_d), jnp.asarray(lo_d), jnp.asarray(hi_d),
+                chunk=cfg.chunk,
+            )
+        else:
+            clr, la = two_stage_lattice_max(
+                self.lt,
+                self.row if row is None else row,
+                self.pos,
+                self.null if null is None else null,
+                jnp.asarray(cand_d),
+                jnp.asarray(lo_d),
+                jnp.asarray(hi_d),
+                chunk=cfg.chunk,
+            )
         return clr, la, ns, lo, hi
 
     def eval_candidates(self, cand_flat, cfg, grid_points=None, row=None,
@@ -219,7 +237,7 @@ class _ChromosomeBlock:
 class _HistScanContext:
     """Histogram-engine evaluation context for one chromosome's scan."""
 
-    def __init__(self, ht, data, cl, cfg):
+    def __init__(self, ht, data, cl, cfg, mesh=None):
         sl = slice(cl.start_index, cl.start_index + cl.n_snps)
         self.ht = ht
         self.pos_np = np.asarray(data.pos[sl])
@@ -228,6 +246,7 @@ class _HistScanContext:
         )
         self.dev = make_hist_device_arrays(ht, self.pos_np)
         self.eval_range = cfg.eval_range
+        self.mesh = mesh
 
     def eval_max_device(self, cand_flat):
         """Enqueue the (max-CLR, lalpha) evaluation; returns a [2, P]
@@ -239,6 +258,17 @@ class _HistScanContext:
             ht, self.pos_np, cand_flat, self.eval_range,
             cand_pad=1024, device_arrays=self.dev,
         )
+        if self.mesh is not None:
+            from ..parallel.shard import sharded_hist_eval
+
+            bounds, fbar = hp.bounds, hp.fbar
+            pad = -(-bounds.shape[0] // self.mesh.size) * self.mesh.size
+            if pad != bounds.shape[0]:
+                pad -= bounds.shape[0]
+                bounds = jnp.pad(bounds, ((0, pad), (0, 0), (0, 0)))
+                fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
+            out = sharded_hist_eval(self.mesh, ht, bounds, fbar, self.row_c)
+            return out[:, : len(cand_flat)]
         clr = hist_clr(
             ht.t3, hp.bounds, hp.fbar, self.row_c,
             n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
@@ -323,13 +353,17 @@ def _drain(pending):
 
     The remote device link pays per round trip; concatenating every
     chromosome's pending result device-side and reading back once lets the
-    device pipeline all chromosomes' dispatches instead of sync-stepping."""
+    device pipeline all chromosomes' dispatches instead of sync-stepping.
+    Multi-process runs allgather the sharded results so every host sees
+    the identical values (parallel.shard.gather_to_host)."""
+    from ..parallel.shard import gather_to_host
+
     if not pending:
         return []
     if len(pending) == 1:
-        cat = np.asarray(pending[0])
+        cat = gather_to_host(pending[0])
     else:
-        cat = np.asarray(jnp.concatenate(pending, axis=1))
+        cat = gather_to_host(jnp.concatenate(pending, axis=1))
     outs, off = [], 0
     for p in pending:
         n = p.shape[1]
@@ -367,6 +401,17 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
     lattice = lattice or LatticeTables(tables.table, tables.grid_points)
     G = tables.grid_points
 
+    # candidate sharding over the device mesh: the scan's dense selection,
+    # refine, and exact re-eval stages are all candidate-major, so every
+    # device takes a slice of candidates with site data replicated — the
+    # reference's pthread work queue over coarse intervals
+    # (scan-chromosome.c:162-216, 256-261) as an SPMD mesh program
+    mesh = None
+    if jax.device_count() > 1:
+        from ..parallel import make_scan_mesh
+
+        mesh = make_scan_mesh()
+
     out = {
         k: []
         for k in (
@@ -391,9 +436,9 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
 
     states = []
     for c, cl in enumerate(data.chr_limits):
-        blk = _ChromosomeBlock(data, cl, lattice)
+        blk = _ChromosomeBlock(data, cl, lattice, mesh=mesh)
         hctx = (
-            _HistScanContext(hist_ht, data, cl, cfg)
+            _HistScanContext(hist_ht, data, cl, cfg, mesh=mesh)
             if hist_ht is not None else None
         )
         st = _ChrScanState(c, cl, blk, hctx, cfg)

@@ -131,6 +131,58 @@ def gather_to_host(x):
     return np.asarray(rep.addressable_shards[0].data)
 
 
+def sharded_hist_eval(mesh, ht, bounds, fbar, row_c):
+    """Observed-scan hist evaluation: candidates sharded over every device.
+
+    The scan's dense selection stages (engine/scan.py eval_stage) are
+    candidate-major: bounds/fbar rows shard over the flattened mesh, the
+    per-chromosome site stream (row_c), table pack, and alpha grid
+    replicate, and each device evaluates its candidate slice's dense-alpha
+    max — the TPU equivalent of the reference's pthread work queue over
+    coarse intervals (scan-chromosome.c:162-216).  No collectives: the
+    [2, C] result stays candidate-sharded for the caller's pipelined
+    drain.  C must be divisible by the device count (callers pad).
+    """
+    from ..ops.histclr import hist_clr
+
+    lal = jnp.asarray(ht.lalpha)
+
+    def local(b_l, f_l):
+        clr = hist_clr(
+            ht.t3, b_l, f_l, row_c,
+            n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
+            c_sub=64, weights=ht.weights,
+        )
+        a = jnp.argmax(clr, axis=1)
+        best = jnp.take_along_axis(clr, a[:, None], axis=1)[:, 0]
+        return jnp.stack([best, lal[a]])
+
+    spec = P(("perm", "site"))
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=P(None, ("perm", "site")),
+    )
+    return f(bounds, fbar)
+
+
+def sharded_permute_reps(mesh, stat_fn, sigma):
+    """Lattice-path permutation chunk: replicates sharded over the mesh.
+
+    The lattice fallback's per-replicate statistic ([R, n_pts] maxima from
+    _permute_batch_chr) is embarrassingly parallel over replicates, like
+    the hist path: sigma shards over the flattened mesh, genome attribute
+    arrays and lattice packs replicate, zero collectives.  R must be
+    divisible by the device count (callers pad to REP_SUB x ndev).
+    """
+    spec = P(("perm", "site"))
+    f = jax.shard_map(
+        stat_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+    )
+    return f(sigma)
+
+
 def sharded_hist_permute(
     mesh, stat_fn, sigma, *, rep_axes=("perm", "site"), n_out=None,
 ):

@@ -60,3 +60,52 @@ def test_projection_degenerate_cases():
     # tiny positive sample falls back to k=df=1
     p = chi2_tail_projection(3.0, [0.5, 1.0, 0.2])
     assert 0.0 < p <= 1.0
+
+
+def test_projection_calibrated_on_engine_nulldist():
+    """Projected vs empirical p on a REAL permutation run's reservoirs.
+
+    VERDICT r1 item 8: on points that reached the pruning threshold
+    (permute_p >= 20, empirical p resolved), the chi-square tail
+    projection must agree with the empirical p to within ~2x (median) —
+    the practical bar for a moment fit on finite reservoirs.
+    """
+    import numpy as np
+
+    from fscl_tpu.data import build_snp_data
+    from fscl_tpu.engine import (
+        PermuteConfig, ScanConfig, scan_genome, scan_permute,
+    )
+    from fscl_tpu.engine.pvalues import empirical_pvalues, projected_pvalues
+    from fscl_tpu.models import background_fsp, build_tables
+    from fscl_tpu.sim import simulate_dataset
+
+    sim = simulate_dataset(
+        seed=61, sample_size=24, snp_density=1.0, mb_length=3.0,
+        alpha=5e-5, n_sweeps=1,
+    )
+    n = len(sim["pos"])
+    data = build_snp_data(
+        np.full(n, "1"), sim["pos"], sim["freq"], np.full(n, sim["n"]),
+        np.zeros(n, bool),
+    )
+    fsp = background_fsp(
+        data.obs_freq, data.depth_p, data.folded, data.sample_depths
+    )
+    tables = build_tables(fsp, data.sample_depths, grid_points=512)
+    data.attach_model(tables)
+    cfg = ScanConfig(small_grid_sp=10_000, large_grid_sp=300_000)
+    result = scan_genome(data, tables, cfg)
+    scan_permute(
+        data, tables, result, cfg,
+        PermuteConfig(n_permute=160, chunk_replicates=32, seed=3),
+    )
+    sel = result.permute_p >= 20
+    assert sel.sum() >= 3  # neutral intervals hit the pruning threshold
+    emp = empirical_pvalues(result.permute_p, result.permute_n)[sel]
+    proj = projected_pvalues(result)[sel]
+    ok = np.isfinite(proj) & (proj > 0)
+    assert ok.all()
+    lr = np.abs(np.log10(proj / emp))
+    assert np.median(lr) < 0.35, (proj, emp)
+    assert lr.max() < 1.0, (proj, emp)

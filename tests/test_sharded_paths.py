@@ -1,0 +1,89 @@
+"""Sharded-vs-single-device equality for the scan and lattice-permutation
+paths (the hist permutation path has its own test in test_permute_hist.py).
+
+Runs on the 8-virtual-device CPU mesh (conftest).  Sharding candidate or
+replicate axes over the mesh must not change any result: per-candidate and
+per-replicate computations are independent, so sharded == unsharded up to
+float determinism (asserted tightly).
+"""
+
+import copy
+
+import numpy as np
+import pytest
+
+from fscl_tpu.engine import PermuteConfig, ScanConfig, scan_genome, scan_permute
+from fscl_tpu.io import load_snp_input
+from fscl_tpu.models import background_fsp, build_tables
+from fscl_tpu.sim import simulate_dataset, write_snp_file
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sp")
+    sim = simulate_dataset(
+        seed=41, sample_size=30, snp_density=1.0, mb_length=4.0,
+        alpha=3e-5, n_sweeps=1,
+    )
+    path = d / "s.sf"
+    write_snp_file(path, sim["pos"], sim["freq"], sim["n"])
+    data = load_snp_input(path)
+    fsp = background_fsp(
+        data.obs_freq, data.depth_p, data.folded, data.sample_depths
+    )
+    tables = build_tables(fsp, data.sample_depths, grid_points=256)
+    data.attach_model(tables)
+    cfg = ScanConfig(
+        eval_range=1200, small_grid_sp=20_000, large_grid_sp=400_000,
+    )
+    return data, tables, cfg
+
+
+def test_scan_sharded_matches_single_device(dataset, monkeypatch):
+    """Candidate sharding over the mesh changes no scan output."""
+    import fscl_tpu.engine.scan as sc
+
+    data, tables, cfg = dataset
+    r_shard = scan_genome(data, tables, cfg)
+    monkeypatch.setattr(sc.jax, "device_count", lambda: 1)
+    r_single = scan_genome(data, tables, cfg)
+    np.testing.assert_array_equal(r_shard.sweep_pos, r_single.sweep_pos)
+    np.testing.assert_allclose(r_shard.clr, r_single.clr, rtol=1e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(r_shard.lalpha, r_single.lalpha, atol=1e-6)
+
+
+def test_lattice_permutation_sharded_matches_single(dataset, monkeypatch):
+    """Replicate sharding on the lattice fallback changes no counts."""
+    import fscl_tpu.engine.permute as pm
+
+    data, tables, cfg = dataset
+    result0 = scan_genome(data, tables, cfg)
+
+    def run(force_single):
+        if force_single:
+            monkeypatch.setattr(pm.jax, "device_count", lambda: 1)
+        else:
+            monkeypatch.undo()
+        r = copy.deepcopy(result0)
+        r.permute_n[:] = 0
+        r.permute_p[:] = 0
+        r.permute_finished[:] = False
+        r.null_clr = [None] * r.n_points
+        scan_permute(
+            data, tables, r, cfg,
+            PermuteConfig(n_permute=64, chunk_replicates=64, seed=7,
+                          use_hist=False),
+        )
+        return r
+
+    r_shard = run(False)
+    assert pm.last_stats["lattice_sharded_dispatches"] > 0
+    r_single = run(True)
+    assert pm.last_stats["lattice_sharded_dispatches"] == 0
+    np.testing.assert_array_equal(r_shard.permute_p, r_single.permute_p)
+    np.testing.assert_array_equal(r_shard.permute_n, r_single.permute_n)
+    for i in range(r_shard.n_points):
+        np.testing.assert_allclose(
+            r_shard.null_clr[i], r_single.null_clr[i], rtol=1e-5, atol=1e-4
+        )
