@@ -764,16 +764,26 @@ def hist_clr_reps(t3, bounds, fbar, row_rep,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rep", "n_cells", "n_rows", "n_alpha", "c_sub"),
+    static_argnames=("n_rep", "n_cells", "n_rows", "n_alpha", "c_sub",
+                     "mm_bf16"),
 )
 def hist_clr_reps_ps(t3, bounds, fbar, ps,
-                     *, n_rep, n_cells, n_rows, n_alpha, c_sub=32):
+                     *, n_rep, n_cells, n_rows, n_alpha, c_sub=32,
+                     mm_bf16=False):
     """hist_clr_reps given prebuilt prefix sums ps [W+1, P*R].
 
     The permutation driver hoists build_prefix_sums out of the per-bucket
     dispatches: the sigma attribute gather plus the prefix pass cost ~5 ms
     per replicate slice and are identical for every point bucket of a
     chromosome.
+
+    mm_bf16: run the (cell, row) contraction in bfloat16 with f32
+    accumulation — ~2x MXU rate.  Inputs are counts (or weight sums) x
+    log-prob diffs, so the ~0.4% bf16 input rounding costs O(1) CLR units
+    on large windows; used ONLY for the permutation statistic, where the
+    identical functional applies to observed thresholds and null
+    replicates (valid Monte-Carlo test at any precision) — never for
+    reported scan CLRs.
     """
     NC, R, A = n_cells, n_rows, n_alpha
     P_rep = n_rep
@@ -792,7 +802,8 @@ def hist_clr_reps_ps(t3, bounds, fbar, ps,
     b_c = bounds.reshape(n_chunks, c_sub, 2, NC + 1)
     f_c = fbar.reshape(n_chunks, c_sub, 2, NC)
     sign = jnp.array([-1, 1], idt)[None, :, None, None]
-    t3r = t3.reshape(2 * NC, R, A)
+    mmdt = jnp.bfloat16 if mm_bf16 else jnp.float32
+    t3r = t3.reshape(2 * NC, R, A).astype(mmdt)
 
     def one_chunk(carry, args):
         bc, fc = args
@@ -804,10 +815,11 @@ def hist_clr_reps_ps(t3, bounds, fbar, ps,
         w1 = jnp.sum(h * fc[..., None], axis=1)
         k = jnp.concatenate([w0, w1], axis=1).reshape(
             c_sub, 2 * NC, P_rep, R
-        )
+        ).astype(mmdt)
         # contract (cell, row) against the pack for every (candidate, rep)
         out = jax.lax.dot_general(
-            k, t3r, dimension_numbers=(((1, 3), (0, 1)), ((), ()))
+            k, t3r, dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # [c_sub, P, A]
         return carry, 2.0 * out
 
