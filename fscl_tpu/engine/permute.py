@@ -746,13 +746,22 @@ class _StackGroup:
             off[slot] = start - g0[slot] * PERM_GROUP
             nn[slot] = n
             pts = pts_by_chr[c]
+            # pad the candidate count to a power of 2 so geometry builds
+            # share compiled shapes across segments and compaction epochs
+            # (each distinct candidate count is its own XLA program)
+            n_cp = _pad_pow2(max(len(pts), 1), minimum=4)
+            cand = np.pad(
+                _fine_cand(result, pts, Jf), (0, (n_cp - len(pts)) * Jf)
+            )
             hp = build_hist_points(
-                ht, pos_np, _fine_cand(result, pts, Jf),
+                ht, pos_np, cand,
                 self.eval_range, cand_pad=Jf, device_arrays=dev,
             )
             base = slot * self.w_seg_p + int(off[slot])
-            b_parts.append(hp.bounds + jnp.int32(base))
-            f_parts.append(hp.fbar)
+            b_parts.append(
+                hp.bounds[: len(pts) * Jf] + jnp.int32(base)
+            )
+            f_parts.append(hp.fbar[: len(pts) * Jf])
             pts_all.append(pts)
         self.pts = (
             np.concatenate(pts_all) if pts_all else np.zeros(0, np.int64)
@@ -870,7 +879,9 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         pos_np = np.asarray(data.pos[sl])
         by_len.setdefault(w_seg_p, []).append(
             (c, cl.start_index, cl.n_snps, pos_np,
-             make_hist_device_arrays(ht, pos_np))
+             make_hist_device_arrays(
+                 ht, pos_np, qbits=getattr(data, "_hist_qbits", None)
+             ))
         )
     stacks = [
         _StackGroup(ht, w, segs, scan_cfg.eval_range, Jf)

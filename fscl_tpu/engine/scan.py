@@ -244,7 +244,9 @@ class _HistScanContext:
         self.row_c = jnp.asarray(
             ht.row_map[np.asarray(data.row[sl])].astype(np.int32)
         )
-        self.dev = make_hist_device_arrays(ht, self.pos_np)
+        self.dev = make_hist_device_arrays(
+            ht, self.pos_np, qbits=getattr(data, "_hist_qbits", None)
+        )
         self.eval_range = cfg.eval_range
         self.mesh = mesh
 
@@ -256,7 +258,7 @@ class _HistScanContext:
         ht = self.ht
         hp = build_hist_points(
             ht, self.pos_np, cand_flat, self.eval_range,
-            cand_pad=1024, device_arrays=self.dev,
+            cand_pad=2048, device_arrays=self.dev,
         )
         if self.mesh is not None:
             from ..parallel.shard import sharded_hist_eval
@@ -298,7 +300,7 @@ def make_scan_hist_tables(data, tables, n_alpha=128, decimate=1):
     decimation) — scan and permutation share one table build per dataset
     (attach_model drops the cache when the model changes)."""
     from .. import LOG_AD_MAX, LOG_AD_MIN
-    from ..ops.histclr import hist_geometry_ok
+    from ..ops.histclr import dataset_qbits
 
     base_step = (LOG_AD_MAX - LOG_AD_MIN) / max(tables.grid_points - 1, 1)
     decimate = max(1, min(int(decimate), int(0.1 / base_step)))
@@ -317,15 +319,17 @@ def make_scan_hist_tables(data, tables, n_alpha=128, decimate=1):
         int(data.pos[cl.start_index + cl.n_snps - 1] - data.pos[cl.start_index])
         for cl in data.chr_limits if cl.n_snps > 0
     ]
+    # one dataset-wide block quantum: each distinct qbits is a separate
+    # compile of the geometry program, so chromosomes share the minimum
+    qb = dataset_qbits([
+        data.pos[cl.start_index : cl.start_index + cl.n_snps]
+        for cl in data.chr_limits if cl.n_snps > 0
+    ])
+    data._hist_qbits = qb
     if (
         hist_supported(len(rows_used), max_n)
         and extents
-        and all(
-            hist_geometry_ok(
-                data.pos[cl.start_index : cl.start_index + cl.n_snps]
-            )
-            for cl in data.chr_limits if cl.n_snps > 0
-        )
+        and qb is not None
     ):
         null_row = np.zeros(tables.table.shape[0])
         null_row[row] = np.asarray(data.null_logl)

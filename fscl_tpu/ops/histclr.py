@@ -460,20 +460,28 @@ _SLAB_K = 16  # sites per contiguous slab fetched by _block_search
 _IDX_TAB_MAX = 4_000_000  # block-table size cap
 
 
-def _choose_block_table(pos):
+def _choose_block_table(pos, qbits=None):
     """(qbits, idx_tab) with <= _SLAB_K sites per 2^qbits-bp block, or
-    (None, None) when no table within _IDX_TAB_MAX entries achieves it."""
+    (None, None) when no table within _IDX_TAB_MAX entries achieves it.
+
+    With ``qbits`` forced, builds the table at exactly that quantum (any
+    quantum at or below a chromosome's natural choice keeps the <=_SLAB_K
+    exactness guarantee) — drivers force one dataset-wide quantum so
+    _device_points compiles ONCE instead of per chromosome (each distinct
+    qbits is a separate XLA program; cold compiles through the tunnel cost
+    minutes)."""
     pos = np.asarray(pos, dtype=np.int64)
     max_pos = int(pos[-1]) if len(pos) else 0
-    for qbits in range(16, 0, -1):
-        n_blk = (max_pos >> qbits) + 2
+    rng = range(16, 0, -1) if qbits is None else (qbits,)
+    for qb in rng:
+        n_blk = (max_pos >> qb) + 2
         if n_blk > _IDX_TAB_MAX:
             return None, None
         idx_tab = np.searchsorted(
-            pos, np.arange(n_blk, dtype=np.int64) << qbits, side="left"
+            pos, np.arange(n_blk, dtype=np.int64) << qb, side="left"
         )
         if np.diff(idx_tab).max(initial=0) <= _SLAB_K:
-            return qbits, idx_tab
+            return qb, idx_tab
     return None, None
 
 
@@ -483,36 +491,70 @@ def hist_geometry_ok(pos_np) -> bool:
     return q is not None
 
 
-def make_hist_device_arrays(ht: HistTables, pos_np):
+def dataset_qbits(pos_by_chr):
+    """One shared block quantum for every chromosome of a dataset.
+
+    Each distinct qbits value makes _device_points a distinct XLA program;
+    forcing the minimum of the per-chromosome natural choices keeps the
+    exactness guarantee (smaller blocks hold fewer sites) while the whole
+    dataset shares one compile.  Returns None when any chromosome has no
+    feasible table (callers fall back to the lattice path).
+    """
+    q = 16
+    for pos in pos_by_chr:
+        qc, _ = _choose_block_table(np.asarray(pos, dtype=np.int64))
+        if qc is None:
+            return None
+        q = min(q, qc)
+    return q
+
+
+def make_hist_device_arrays(ht: HistTables, pos_np, qbits=None):
     """Chromosome-resident device inputs for build_hist_points.
 
     Builds the block index table for _block_search: the largest block
     quantum (power of two) such that no 2^qbits-bp block holds more than
-    _SLAB_K sites.  For pathologically dense data the table is capped at
-    _IDX_TAB_MAX entries (then blocks may exceed the slab and the builder
-    raises — callers gate on hist_supported first).
+    _SLAB_K sites (or the caller's dataset-wide forced quantum).  For
+    pathologically dense data the table is capped at _IDX_TAB_MAX entries
+    (then blocks may exceed the slab and the builder raises — callers gate
+    on hist_supported first).
     """
     pos = np.asarray(pos_np, dtype=np.int64)
+    n = len(pos)
     d_ceil = np.ceil(
         np.exp(np.arange(1, ht.n_cells + 1, dtype=np.float64) * ht.step)
     ).astype(np.int64)
-    ps_hl = build_pos_prefix(pos)
 
-    qbits, idx_tab = _choose_block_table(pos)
+    # pad every per-chromosome array to 4096-site / 4096-block quanta:
+    # each distinct input LENGTH is a distinct _device_points program, and
+    # a genome's chromosomes differ by a few percent in site count — with
+    # quantized shapes (and the dataset-wide qbits) they all share one
+    # compile per stage instead of one per chromosome
+    w_pad = max(-(-n // 4096) * 4096, 4096)
+    pos_zero = np.zeros(w_pad, dtype=np.int64)
+    pos_zero[:n] = pos  # zero tail: prefix differences in the pad are 0
+    ps_hl = build_pos_prefix(pos_zero)
+
+    qbits, idx_tab = _choose_block_table(pos, qbits=qbits)
     if qbits is None:
         raise ValueError(
             "site density too high for the block index table; "
             "disable the hist path for this dataset "
             "(check hist_geometry_ok first)"
         )
+    nb_pad = max(-(-len(idx_tab) // 4096) * 4096, 4096)
+    idx_tab = np.pad(idx_tab, (0, nb_pad - len(idx_tab)),
+                     constant_values=n)
     # block table rows [coarse_b, pos[coarse_b : coarse_b+K]], built
     # device-side (the host link is slow); int32-max tail sentinels
-    pos_d = jnp.asarray(pos.astype(np.int32))
+    pos_sent = np.full(w_pad, np.iinfo(np.int32).max // 2, dtype=np.int32)
+    pos_sent[:n] = pos
+    pos_d = jnp.asarray(pos_sent)
     pos_ext = jnp.concatenate(
         [pos_d, jnp.full(_SLAB_K, np.iinfo(np.int32).max, jnp.int32)]
     )
     pos_win = jnp.stack(
-        [pos_ext[k : k + len(pos) + 1] for k in range(_SLAB_K)], axis=1
+        [pos_ext[k : k + w_pad + 1] for k in range(_SLAB_K)], axis=1
     )
     idx_d = jnp.asarray(idx_tab.astype(np.int32))
     block_tab = jnp.concatenate([idx_d[:, None], pos_win[idx_d]], axis=1)
