@@ -318,6 +318,7 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
     last_stats.update(
         hist_sharded_dispatches=0,
         hist_unsharded_dispatches=0,
+        hist_deferred_rebuilds=0,
         lattice_dispatches=0,
         lattice_sharded_dispatches=0,
     )
@@ -704,6 +705,58 @@ _DISPATCH_TARGET_S = 3.0  # per-dispatch wall target
 _PS_BUDGET = 2_400_000_000  # transient [S*w, P*R] i8/i16 buffer bytes
 
 
+def _sub_rep_for(ht, n_seg_pad, w_seg_p):
+    """Largest replicate slice whose transient [S*w, P*R] buffers fit
+    (compressed weight channels are f32, 2x the int16 one-hot bytes)."""
+    bpe = 4 if ht.weights is not None else 2
+    p = HIST_REP_SUB * 2
+    while p > 1 and (
+        n_seg_pad * w_seg_p * p * ht.n_rows * bpe > _PS_BUDGET
+    ):
+        p //= 2
+    return p
+
+
+def _slice_cost_for(ht, n_seg_pad, w_seg_p, n_pts_pad, Jf, sub_rep):
+    """Rough per-replicate-slice wall estimate (dispatch budgeting).
+
+    Pure function of the dispatch dims so the shape-warming predictor
+    (utils/precompile.py) reproduces the driver's slice plan exactly."""
+    bpe = 4 if ht.weights is not None else 2
+    ps_bytes = n_seg_pad * w_seg_p * sub_rep * ht.n_rows * (bpe + 3)
+    rows = n_pts_pad * Jf * 2 * (ht.n_cells + 1)
+    gbytes = rows * sub_rep * ht.n_rows * bpe
+    flops = (
+        n_pts_pad * Jf * ht.n_alpha * sub_rep
+        * 2 * ht.n_cells * ht.n_rows * 2
+    )
+    return (
+        ps_bytes / _HBM_RATE
+        + max(rows / _GATHER_ROWS_RATE, gbytes / _HBM_RATE)
+        + flops / _MXU_RATE
+    )
+
+
+def _plan_m(slice_cost_s):
+    """Replicate slices fused per dispatch (power of 2, wall-targeted)."""
+    m = max(1, int(_DISPATCH_TARGET_S / max(slice_cost_s, 1e-4)))
+    return 1 << (m.bit_length() - 1)
+
+
+def _plan_ds(slices_total, m):
+    """Binary decomposition of a chunk into per-dispatch slice counts.
+
+    Shared by the dispatch loop and the shape predictor so the warmed
+    programs are exactly the ones later dispatched."""
+    ds, rem = [], slices_total
+    while rem:
+        d = min(m, rem)
+        d = 1 << (d.bit_length() - 1)
+        ds.append(d)
+        rem -= d
+    return ds
+
+
 class _StackGroup:
     """Live chromosomes of one padded-length class, stacked for dispatch.
 
@@ -786,35 +839,30 @@ class _StackGroup:
         self.seg_g0 = jnp.asarray(g0)
         self.seg_off = jnp.asarray(off)
         self.seg_n = jnp.asarray(nn)
-        # largest replicate slice whose transient [S*w, P*R] buffers fit
-        # (compressed weight channels are f32, 2x the int16 one-hot bytes)
-        bpe = 4 if ht.weights is not None else 2
-        p = HIST_REP_SUB * 2
-        while p > 1 and (
-            S_pad * self.w_seg_p * p * ht.n_rows * bpe > _PS_BUDGET
-        ):
-            p //= 2
-        self.sub_rep = p
+        self.sub_rep = _sub_rep_for(ht, S_pad, self.w_seg_p)
 
     def slice_cost_s(self):
         """Rough per-replicate-slice wall estimate (dispatch budgeting)."""
-        ht = self.ht
-        bpe = 4 if ht.weights is not None else 2
-        ps_bytes = (
-            self.n_seg_pad * self.w_seg_p * self.sub_rep * ht.n_rows
-            * (bpe + 3)
+        return _slice_cost_for(
+            self.ht, self.n_seg_pad, self.w_seg_p, self.n_pts_pad,
+            self.Jf, self.sub_rep,
         )
-        rows = self.n_pts_pad * self.Jf * 2 * (ht.n_cells + 1)
-        gbytes = rows * self.sub_rep * ht.n_rows * bpe
-        flops = (
-            self.n_pts_pad * self.Jf * ht.n_alpha * self.sub_rep
-            * 2 * ht.n_cells * ht.n_rows * 2
-        )
-        return (
-            ps_bytes / _HBM_RATE
-            + max(rows / _GATHER_ROWS_RATE, gbytes / _HBM_RATE)
-            + flops / _MXU_RATE
-        )
+
+    def predict_shape(self, result, active):
+        """(n_seg_pad, n_pts_pad, sub_rep) a rebuild on ``active`` would
+        produce — computed without building geometry, so the warming
+        predictor can compile the next rung's programs while the current
+        shapes keep the device busy."""
+        if self.pts is None:
+            return None
+        on = self.pts[active[self.pts]]
+        n_act = len(on)
+        if n_act == 0:
+            return None
+        live_chr = len(np.unique(result.chr_id[on]))
+        S_pad = _ladder_pad(max(live_chr, 1))
+        n_pts_pad = _pad_pow2(max(n_act, 1), minimum=4)
+        return S_pad, n_pts_pad, _sub_rep_for(self.ht, S_pad, self.w_seg_p)
 
 
 def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
@@ -937,43 +985,6 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             )
     active = ~result.permute_finished.copy()
 
-    def _stat_call(st, sig, n_slices):
-        return _stack_stat(
-            oh_table, sig, st.seg_g0, st.seg_off, st.seg_n,
-            st.bounds, st.fbar, ht.t3,
-            w_seg_p=st.w_seg_p, n_seg=st.n_seg_pad, n_rows=ht.n_rows,
-            n_cells=ht.n_cells, n_alpha=ht.n_alpha,
-            sub_rep=st.sub_rep, n_slices=n_slices,
-            n_pts=st.n_pts_pad, Jf=Jf, mm_bf16=cfg.hist_bf16,
-        )
-
-    # observed thresholds under the identical statistic: sigma = identity
-    _t0 = _time.monotonic()
-    threshold = np.zeros(K)
-    obs_sigma = _pad_sigma(jnp.arange(n_groups, dtype=jnp.int32)[None, :])
-    th_pending = []
-    for st in stacks:
-        st.rebuild(result, _active_by_chr(st, np.ones(K, bool)))
-        sub_save, st.sub_rep = st.sub_rep, 1
-        th_pending.append((st, _stat_call(st, obs_sigma, 1)))
-        st.sub_rep = sub_save
-    if th_pending:
-        # one concatenated device vector -> ONE host readback (the slow
-        # tunnel pays per round trip, not per byte, at these sizes)
-        obs_cat = np.asarray(
-            jnp.concatenate(
-                [o[0, : len(st.pts)] for st, o in th_pending]
-            )
-        )
-        off = 0
-        for st, _ in th_pending:
-            threshold[st.pts] = obs_cat[off : off + len(st.pts)]
-            off += len(st.pts)
-    logmsg(
-        MSG_DEBUG, "hist permutation setup: %.1fs (%d stack groups)",
-        _time.monotonic() - _t0, len(stacks),
-    )
-
     # replicate sharding over the device mesh: the hist path has per-replicate
     # state and no cross-replicate communication, so replicates spread over
     # every device (ICI within a slice, DCN across hosts) with no collectives
@@ -992,14 +1003,6 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             MSG_STATUS,
             "Permutation replicates sharded over %d devices (%d processes)",
             ndev, jax.process_count(),
-        )
-
-    def _progress():
-        cr_logmsg(
-            MSG_STATUS,
-            "Scanning snp block permutations... %7d (%d scan pts remaining)",
-            rounds_done,
-            int(active.sum()),
         )
 
     # sigma is ALWAYS generated at a fixed per-boost replicate count: a
@@ -1026,119 +1029,281 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             b //= 4
         return max(b, 1)
 
-    with _InterruptState(dump_fn) as intr:
-        while active.any() and rounds_done < cfg.n_permute:
-            _tr = _time.monotonic()
-            boost = _boost(int(active.sum()))
-            R = min(cfg.chunk_replicates * boost,
-                    cfg.n_permute - rounds_done)
-            # shard only when the replicate padding stays reasonable (small
-            # final chunks run unsharded rather than pad 8x)
-            shard_now = (
-                mesh is not None
-                and -(-R // rep_step) * rep_step <= 2 * R
+    # --- background shape warming (utils/precompile.py) -------------------
+    # each (segment class, point rung, slice layout) is its own XLA
+    # program; warming compiles PREDICTED rungs concurrently with device
+    # execution so pruning-driven shape changes stop serializing compiles
+    # into the permutation wall.  Dispatch still goes through the plain
+    # jit path — warming only pre-populates the persistent compile cache,
+    # so results are bitwise identical whether or not a warm landed.
+    from ..utils.precompile import Precompiler
+
+    warm = Precompiler()
+    n_sig_pad = n_groups + margin
+    _sds = jax.ShapeDtypeStruct
+    _oh_sds = _sds(oh_table.shape, oh_table.dtype)
+    _t3_sds = _sds(ht.t3.shape, ht.t3.dtype)
+
+    def _stack_key(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices):
+        return ("stack", w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices)
+
+    def _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices):
+        key = _stack_key(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices)
+
+        def fn():
+            i32 = jnp.int32
+            seg = _sds((n_seg_pad,), i32)
+            _stack_stat.lower(
+                _oh_sds,
+                _sds((n_slices * sub_rep, n_sig_pad), jnp.int32),
+                seg, seg, seg,
+                _sds((n_pts_pad * Jf, 2, ht.n_cells + 1), i32),
+                _sds((n_pts_pad * Jf, 2, ht.n_cells), jnp.float32),
+                _t3_sds,
+                w_seg_p=w_seg_p, n_seg=n_seg_pad, n_rows=ht.n_rows,
+                n_cells=ht.n_cells, n_alpha=ht.n_alpha, sub_rep=sub_rep,
+                n_slices=n_slices, n_pts=n_pts_pad, Jf=Jf,
+                mm_bf16=cfg.hist_bf16,
+            ).compile()
+
+        warm.submit(key, fn)
+        return key
+
+    def _warm_sigma(n_rep):
+        from ..ops.permute import _group_first_positions, _replicates
+
+        key = ("sigma", n_rep)
+
+        def fn():
+            g0, span = _group_first_positions(gpos)
+            n_blocks = max(int(span // width_bp) + 2, 1) + 1
+            _replicates.lower(
+                _sds(key0.shape, key0.dtype),
+                _sds((), jnp.uint32),
+                _sds(g0.shape, g0.dtype),
+                n_blocks=n_blocks, n_replicates=int(n_rep),
+                width=float(width_bp),
+            ).compile()
+
+        warm.submit(key, fn)
+        return key
+
+    def _plan_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, R, nshard=1):
+        """Per-dispatch slice counts this chunk would use at these dims."""
+        q = sub_rep * nshard
+        slices_total = (-(-R // q) * q) // q
+        m = _plan_m(
+            _slice_cost_for(ht, n_seg_pad, w_seg_p, n_pts_pad, Jf, sub_rep)
+        )
+        return _plan_ds(slices_total, m)
+
+    def _warm_rung(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, R, nshard=1):
+        """Warm every program a chunk at these dims would dispatch; True
+        once all are compiled (failures count — the jit path then
+        compiles synchronously, the pre-warming behavior)."""
+        keys = [
+            _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, d)
+            for d in set(_plan_stack(w_seg_p, n_seg_pad, n_pts_pad,
+                                     sub_rep, R, nshard))
+        ]
+        return all(warm.ready(k) for k in keys)
+
+    def _stat_call(st, sig, n_slices):
+        return _stack_stat(
+            oh_table, sig, st.seg_g0, st.seg_off, st.seg_n,
+            st.bounds, st.fbar, ht.t3,
+            w_seg_p=st.w_seg_p, n_seg=st.n_seg_pad, n_rows=ht.n_rows,
+            n_cells=ht.n_cells, n_alpha=ht.n_alpha,
+            sub_rep=st.sub_rep, n_slices=n_slices,
+            n_pts=st.n_pts_pad, Jf=Jf, mm_bf16=cfg.hist_bf16,
+        )
+
+    # observed thresholds under the identical statistic: sigma = identity
+    _t0 = _time.monotonic()
+    threshold = np.zeros(K)
+    obs_sigma = _pad_sigma(jnp.arange(n_groups, dtype=jnp.int32)[None, :])
+    th_pending = []
+    b0 = _boost(int(active.sum()))
+    R0 = min(cfg.chunk_replicates * b0, max(cfg.n_permute - rounds_done, 1))
+    for st in stacks:
+        st.rebuild(result, _active_by_chr(st, np.ones(K, bool)))
+        # warm the threshold + first-chunk programs (and the sigma
+        # generator) on the background pool: thresholds for later stacks
+        # compile in parallel with the first stack's, and the first
+        # chunk's dispatches become cache hits
+        _warm_stack(st.w_seg_p, st.n_seg_pad, st.n_pts_pad, 1, 1)
+        if mesh is None:
+            _warm_rung(st.w_seg_p, st.n_seg_pad, st.n_pts_pad, st.sub_rep,
+                       R0)
+    _warm_sigma(R_gen * b0 + q_max)
+    for st in stacks:
+        sub_save, st.sub_rep = st.sub_rep, 1
+        th_pending.append((st, _stat_call(st, obs_sigma, 1)))
+        st.sub_rep = sub_save
+    if th_pending:
+        # one concatenated device vector -> ONE host readback (the slow
+        # tunnel pays per round trip, not per byte, at these sizes)
+        obs_cat = np.asarray(
+            jnp.concatenate(
+                [o[0, : len(st.pts)] for st, o in th_pending]
             )
-            nshard = ndev if shard_now else 1
-            sigma_p = _pad_sigma(block_permutation_groups(
-                key0, gpos, width_bp, R_gen * boost + q_max,
-                start=rounds_done,
-            ))
+        )
+        off = 0
+        for st, _ in th_pending:
+            threshold[st.pts] = obs_cat[off : off + len(st.pts)]
+            off += len(st.pts)
+    logmsg(
+        MSG_DEBUG, "hist permutation setup: %.1fs (%d stack groups)",
+        _time.monotonic() - _t0, len(stacks),
+    )
 
-            pending = []  # (stack, [device stats]) — drained after ALL
-            # dispatches are enqueued: groups hold disjoint points, so the
-            # results are identical to interleaved updates, but the host
-            # pays ONE pipeline drain per chunk instead of one slow-tunnel
-            # round trip per group
-            for st in stacks:
-                if st.pts is None or not active[st.pts].any():
-                    continue
-                if HIST_COMPACT:
-                    # geometry compaction: rebuild on the active set when
-                    # the padded point count at least halves or a rung of
-                    # the segment ladder drops — late pruning rounds then
-                    # run on small shapes instead of the setup-time padding
-                    n_act = int(active[st.pts].sum())
-                    live_chr = len(
-                        np.unique(result.chr_id[st.pts[active[st.pts]]])
-                    )
-                    if (
-                        2 * _pad_pow2(max(n_act, 1), minimum=4)
-                        <= st.n_pts_pad
-                        or _ladder_pad(live_chr) < st.n_seg_pad
-                    ):
-                        st.rebuild(result, _active_by_chr(st, active))
+    def _progress():
+        cr_logmsg(
+            MSG_STATUS,
+            "Scanning snp block permutations... %7d (%d scan pts remaining)",
+            rounds_done,
+            int(active.sum()),
+        )
 
-                q = st.sub_rep * nshard
-                R_pad = -(-R // q) * q
-                slices_total = R_pad // q
-                # per-dispatch slice count: fuse as many replicate slices
-                # as fit the wall target (binary decomposition, so each
-                # power-of-2 size compiles once)
-                m = max(
-                    1,
-                    int(_DISPATCH_TARGET_S / max(st.slice_cost_s(), 1e-4)),
+    try:
+        with _InterruptState(dump_fn) as intr:
+            while active.any() and rounds_done < cfg.n_permute:
+                _tr = _time.monotonic()
+                boost = _boost(int(active.sum()))
+                R = min(cfg.chunk_replicates * boost,
+                        cfg.n_permute - rounds_done)
+                # shard only when the replicate padding stays reasonable (small
+                # final chunks run unsharded rather than pad 8x)
+                shard_now = (
+                    mesh is not None
+                    and -(-R // rep_step) * rep_step <= 2 * R
                 )
-                m = 1 << (m.bit_length() - 1)
-                outs_slices = []
-                r0 = 0
-                rem = slices_total
-                while rem:
-                    d = min(m, rem)
-                    d = 1 << (d.bit_length() - 1)
-                    Rd = d * q
-                    sig = sigma_p[r0 : r0 + Rd]
-                    if shard_now:
-                        outs_slices.append(sharded_hist_permute(
-                            mesh,
-                            functools.partial(
-                                _stat_call, st, n_slices=d
-                            ),
-                            to_global(
-                                mesh, sig,
-                                jax.sharding.PartitionSpec(
-                                    ("perm", "site")
+                nshard = ndev if shard_now else 1
+                sigma_p = _pad_sigma(block_permutation_groups(
+                    key0, gpos, width_bp, R_gen * boost + q_max,
+                    start=rounds_done,
+                ))
+
+                pending = []  # (stack, [device stats]) — drained after ALL
+                # dispatches are enqueued: groups hold disjoint points, so the
+                # results are identical to interleaved updates, but the host
+                # pays ONE pipeline drain per chunk instead of one slow-tunnel
+                # round trip per group
+                for st in stacks:
+                    if st.pts is None or not active[st.pts].any():
+                        continue
+                    if HIST_COMPACT:
+                        # geometry compaction: rebuild on the active set when
+                        # the padded point count at least halves or a rung of
+                        # the segment ladder drops — late pruning rounds then
+                        # run on small shapes instead of the setup-time padding.
+                        # DEFERRED until the new rung's programs are warm
+                        # (unsharded path): the old — already compiled — shapes
+                        # keep the device busy while the background pool
+                        # compiles the rung, so compaction never serializes a
+                        # compile into the chunk wall.  The chunk schedule
+                        # (boost, R) stays a pure function of the active count,
+                        # so permute_n accounting is unchanged by warm timing.
+                        pred = st.predict_shape(result, active)
+                        if pred is not None and (
+                            2 * pred[1] <= st.n_pts_pad
+                            or pred[0] < st.n_seg_pad
+                        ):
+                            rung_warm = _warm_rung(
+                                st.w_seg_p, pred[0], pred[1], pred[2], R,
+                                nshard,
+                            )
+                            if shard_now or rung_warm:
+                                st.rebuild(
+                                    result, _active_by_chr(st, active)
+                                )
+                            else:
+                                last_stats["hist_deferred_rebuilds"] += 1
+
+                    q = st.sub_rep * nshard
+                    ds = _plan_stack(st.w_seg_p, st.n_seg_pad, st.n_pts_pad,
+                                     st.sub_rep, R, nshard)
+                    outs_slices = []
+                    r0 = 0
+                    for d in ds:
+                        Rd = d * q
+                        sig = sigma_p[r0 : r0 + Rd]
+                        if shard_now:
+                            outs_slices.append(sharded_hist_permute(
+                                mesh,
+                                functools.partial(
+                                    _stat_call, st, n_slices=d
                                 ),
-                            ),
-                        ))
-                        last_stats["hist_sharded_dispatches"] += 1
-                    else:
-                        outs_slices.append(_stat_call(st, sig, d))
-                        last_stats["hist_unsharded_dispatches"] += 1
-                    r0 += Rd
-                    rem -= d
-                pending.append((st, outs_slices))
-            if pending:
-                # concatenate every group's [R, n_active] block device-side
-                # and read back ONCE per chunk
-                cat = jnp.concatenate(
-                    [
-                        jnp.concatenate(outs, axis=0)[:R, : len(st.pts)]
-                        for st, outs in pending
-                    ],
-                    axis=1,
-                )
-                nm_cat = (
-                    gather_to_host(cat) if mesh is not None
-                    else np.asarray(cat)
-                )
-                off = 0
-                for st, _ in pending:
-                    _apply_round_updates(
-                        result, active, threshold, rng, cfg, st.pts,
-                        nm_cat[:, off : off + len(st.pts)], rounds_done, R,
+                                to_global(
+                                    mesh, sig,
+                                    jax.sharding.PartitionSpec(
+                                        ("perm", "site")
+                                    ),
+                                ),
+                            ))
+                            last_stats["hist_sharded_dispatches"] += 1
+                        else:
+                            outs_slices.append(_stat_call(st, sig, d))
+                            last_stats["hist_unsharded_dispatches"] += 1
+                        r0 += Rd
+                    pending.append((st, outs_slices))
+                if pending:
+                    # concatenate every group's [R, n_active] block device-side
+                    # and read back ONCE per chunk
+                    cat = jnp.concatenate(
+                        [
+                            jnp.concatenate(outs, axis=0)[:R, : len(st.pts)]
+                            for st, outs in pending
+                        ],
+                        axis=1,
                     )
-                    off += len(st.pts)
+                    nm_cat = (
+                        gather_to_host(cat) if mesh is not None
+                        else np.asarray(cat)
+                    )
+                    off = 0
+                    for st, _ in pending:
+                        _apply_round_updates(
+                            result, active, threshold, rng, cfg, st.pts,
+                            nm_cat[:, off : off + len(st.pts)], rounds_done, R,
+                        )
+                        off += len(st.pts)
 
-            rounds_done += R
-            _progress()
-            logmsg(
-                MSG_DEBUG, "hist round chunk of %d: %.1fs", R,
-                _time.monotonic() - _tr,
-            )
-            if ckpt is not None:
-                ckpt.save(result, rounds_done)
-            intr.maybe_dump()
+                rounds_done += R
+                _progress()
 
+                # predictive warm for the next boost level: once the active
+                # count is within reach of a boost threshold, compile the
+                # bigger replicate layouts (and sigma program) ahead of the
+                # jump so the transition chunk pays a cache hit, not a compile
+                if mesh is None:
+                    n_act_now = int(active.sum())
+                    b_next = _boost(max(n_act_now // 4, 1))
+                    if b_next > boost and n_act_now:
+                        R_next = min(cfg.chunk_replicates * b_next,
+                                     max(cfg.n_permute - rounds_done, 1))
+                        _warm_sigma(R_gen * b_next + q_max)
+                        for st in stacks:
+                            if st.pts is None or not active[st.pts].any():
+                                continue
+                            pred = st.predict_shape(result, active)
+                            if pred is not None:
+                                _warm_rung(st.w_seg_p, pred[0], pred[1],
+                                           pred[2], R_next)
+                                _warm_rung(st.w_seg_p, st.n_seg_pad,
+                                           st.n_pts_pad, st.sub_rep, R_next)
+
+                logmsg(
+                    MSG_DEBUG, "hist round chunk of %d: %.1fs", R,
+                    _time.monotonic() - _tr,
+                )
+                if ckpt is not None:
+                    ckpt.save(result, rounds_done)
+                intr.maybe_dump()
+
+    finally:
+        last_stats.update(warm.stats)
+        warm.close()
     if ckpt is not None:
         ckpt.close()
     logmsg(

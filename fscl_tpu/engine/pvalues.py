@@ -32,7 +32,15 @@ def empirical_pvalues(permute_p, permute_n):
 
 
 def fit_scaled_chi2(null_clr, eps=1e-6):
-    """Fit (frac_pos, scale k, df) of a scaled chi-square to null CLRs."""
+    """Fit (frac_pos, scale k, df) of a scaled chi-square to null CLRs.
+
+    Upper-quantile matched: k and df solve q75 and q95 of the positive
+    part exactly, so the fitted curve is anchored in the region the tail
+    projection extrapolates from (a plain moment fit is dominated by the
+    bulk and was ~2x off in log10(p) at genome scale — round-2
+    calibration measurement, BASELINE.md).  Falls back to the moment fit
+    when the reservoir is too small or degenerate for quantiles.
+    """
     x = np.asarray(null_clr, dtype=np.float64)
     x = x[np.isfinite(x)]
     if len(x) == 0:
@@ -46,6 +54,22 @@ def fit_scaled_chi2(null_clr, eps=1e-6):
         return frac, 1.0, 1.0
     k = v / (2.0 * m)  # mean = k df, var = 2 k^2 df
     df = m / k
+    q1, q2 = np.quantile(pos, [0.75, 0.95])
+    if len(pos) >= 40 and q1 > eps and q2 > q1 * (1 + 1e-9):
+        # ratio chi2.ppf(.95,df)/chi2.ppf(.75,df) decreases monotonically
+        # in df; bisect df to match, then k sets the scale
+        target = q2 / q1
+        lo_df, hi_df = 1e-2, 1e3
+        ratio = lambda d: stats.chi2.ppf(0.95, d) / stats.chi2.ppf(0.75, d)
+        if ratio(hi_df) <= target <= ratio(lo_df):
+            for _ in range(60):
+                mid = np.sqrt(lo_df * hi_df)
+                if ratio(mid) > target:
+                    lo_df = mid
+                else:
+                    hi_df = mid
+            df = np.sqrt(lo_df * hi_df)
+            k = q1 / stats.chi2.ppf(0.75, df)
     return frac, k, max(df, 1e-3)
 
 
