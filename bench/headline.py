@@ -415,6 +415,14 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
     t_model = time.monotonic() - t0
 
     scan_cfg = ScanConfig(small_grid_sp=1000, large_grid_sp=100000)
+    pc = PermuteConfig(n_permute=n_permute, chunk_replicates=chunk_replicates,
+                       seed=1, null_dist_save=null_dist_save)
+    if n_permute > 0:
+        # production pipeline order: permutation programs compile in the
+        # background while the scan runs (engine/permute.py prewarm)
+        from fscl_tpu.engine.permute import prewarm_hist_permute
+
+        prewarm_hist_permute(data, tables, scan_cfg, pc)
     t0 = time.monotonic()
     result = scan_genome(data, tables, scan_cfg)
     t_scan_cold = time.monotonic() - t0
@@ -422,8 +430,6 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
     result = scan_genome(data, tables, scan_cfg)
     t_scan = time.monotonic() - t0
 
-    pc = PermuteConfig(n_permute=n_permute, chunk_replicates=chunk_replicates,
-                       seed=1, null_dist_save=null_dist_save)
     t0 = time.monotonic()
     scan_permute(data, tables, result, scan_cfg, pc)
     t_perm = time.monotonic() - t0

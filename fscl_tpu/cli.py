@@ -88,7 +88,7 @@ def build_parser():
     a("--eval-range", type=int, default=81920,
       help="+- SNPs in each candidate evaluation window")
     a("--bp-resl", type=int, default=128, help="position refinement resolution (bp)")
-    a("--chunk", type=int, default=8, help="candidate chunk size in the CLR kernel")
+    a("--chunk", type=int, default=32, help="candidate chunk size in the CLR kernel")
     a("--chunk-replicates", type=int, default=16,
       help="permutation replicates evaluated per device round")
     a("--seed", type=int, default=0xFD821A6,
@@ -191,9 +191,7 @@ def _pipeline_snp_data(data: SNPData, args):
         refine=not args.no_refine,
         use_hist=not args.no_hist,
     )
-    with phase("scan"):
-        result = scan_genome(data, tables, scan_cfg, lattice=lattice)
-
+    perm_cfg = None
     if args.n_permute > 0:
         perm_cfg = PermuteConfig(
             n_permute=args.n_permute,
@@ -205,6 +203,16 @@ def _pipeline_snp_data(data: SNPData, args):
             checkpoint_path=args.checkpoint,
             use_hist=not args.no_hist,
         )
+        # permutation program shapes are a pure function of the dataset
+        # geometry — compile them in the background while the scan runs
+        from .engine.permute import prewarm_hist_permute
+
+        prewarm_hist_permute(data, tables, scan_cfg, perm_cfg)
+
+    with phase("scan"):
+        result = scan_genome(data, tables, scan_cfg, lattice=lattice)
+
+    if perm_cfg is not None:
 
         def dump():
             scan_output(

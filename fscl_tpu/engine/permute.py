@@ -790,6 +790,16 @@ class _StackGroup:
         ht, Jf = self.ht, self.Jf
         live = [s for s in self.segs if len(pts_by_chr.get(s[0], ())) > 0]
         S_pad = _ladder_pad(max(len(live), 1))
+        # ONE candidate-pad class per rebuild (the stack-wide max): each
+        # distinct padded candidate count is its own geometry-build XLA
+        # program (_device_points), and per-chromosome pow2 pads scattered
+        # a rebuild across several such programs — a genome-scale rebuild
+        # paid a ~45 s serial compile rung mid-run for shapes used once
+        n_cp_stack = _pad_pow2(
+            max((len(pts_by_chr.get(s[0], ())) for s in live),
+                default=1) or 1,
+            minimum=4,
+        )
         g0 = np.zeros(S_pad, np.int32)
         off = np.zeros(S_pad, np.int32)
         nn = np.zeros(S_pad, np.int32)
@@ -799,10 +809,9 @@ class _StackGroup:
             off[slot] = start - g0[slot] * PERM_GROUP
             nn[slot] = n
             pts = pts_by_chr[c]
-            # pad the candidate count to a power of 2 so geometry builds
-            # share compiled shapes across segments and compaction epochs
-            # (each distinct candidate count is its own XLA program)
-            n_cp = _pad_pow2(max(len(pts), 1), minimum=4)
+            # pad the candidate count to the stack-wide pow2 class so
+            # geometry builds share ONE compiled shape per rebuild
+            n_cp = n_cp_stack
             cand = np.pad(
                 _fine_cand(result, pts, Jf), (0, (n_cp - len(pts)) * Jf)
             )
@@ -1135,6 +1144,17 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         if mesh is None:
             _warm_rung(st.w_seg_p, st.n_seg_pad, st.n_pts_pad, st.sub_rep,
                        R0)
+            # pruning kills most points within the first few chunks
+            # (>=20 exceedances come fast for null-like intervals), so
+            # the first halving rungs of the point-bucket ladder WILL be
+            # needed shortly — compile them now, in likely-use order,
+            # while the early chunks run on the setup geometry
+            p = st.n_pts_pad
+            for _ in range(4):
+                p = max(p // 2, 4)
+                _warm_rung(st.w_seg_p, st.n_seg_pad, p, st.sub_rep, R0)
+                if p == 4:
+                    break
     _warm_sigma(R_gen * b0 + q_max)
     for st in stacks:
         sub_save, st.sub_rep = st.sub_rep, 1
@@ -1312,3 +1332,131 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         rounds_done,
     )
     return result
+
+
+def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
+    """Start background compiles of the permutation programs BEFORE the scan.
+
+    Every dispatch shape of the histogram permutation driver is a pure
+    function of the dataset geometry (chromosome lengths, coarse-interval
+    counts) and the config — none of it needs scan results.  A pipeline
+    that will permute (cfg.n_permute > 0) can therefore call this right
+    after the model build: the setup/threshold/first-chunk/early-rung
+    programs then compile on background threads WHILE the scan runs, and
+    the permutation phase starts on a warm persistent cache instead of
+    serializing ~30 s of compiles into its wall (utils/precompile.py).
+
+    Returns the Precompiler (callers may ignore it; compiles continue in
+    the background) or None when the hist path would not be taken.
+    """
+    from ..ops.histclr import hist_geometry_ok
+    from ..utils.precompile import Precompiler
+    from .scan import chromosome_candidates
+
+    if cfg.n_permute <= 0 or not cfg.use_hist:
+        return None
+    rows_used = np.unique(np.asarray(data.row))
+    max_n = max((cl.n_snps for cl in data.chr_limits), default=0)
+    geom_ok = all(
+        hist_geometry_ok(
+            data.pos[cl.start_index : cl.start_index + cl.n_snps]
+        )
+        for cl in data.chr_limits if cl.n_snps > 0
+    )
+    if not (hist_supported(len(rows_used), max_n) and geom_ok):
+        return None
+    if jax.device_count() > 1:  # sharded dispatches bypass the warm cache
+        return None
+
+    from .scan import make_scan_hist_tables
+
+    ht = make_scan_hist_tables(
+        data, tables, n_alpha=cfg.hist_alphas, decimate=cfg.hist_decimate
+    )
+    if ht is None:
+        return None
+    Jf = STAT_DENSIFY * (cfg.hist_positions - 1) + 1
+    n_rows = ht.n_rows
+    W = int(data.n_snps)
+    n_groups = -(-W // PERM_GROUP) if W else 1
+    oh_dt = jnp.int8 if ht.weights is None else jnp.float32
+    oh_cols = PERM_GROUP * n_rows
+
+    # mirror _scan_permute_hist's stack construction (shapes only)
+    by_len: dict = {}
+    for cl in data.chr_limits:
+        if cl.n_snps == 0:
+            continue
+        w_seg_p = -(-(cl.n_snps + PERM_GROUP + 1) // 4096) * 4096
+        n_int = chromosome_candidates(cl, scan_cfg)[0].shape[0]
+        by_len.setdefault(w_seg_p, []).append((cl, n_int))
+    margin = 2
+    for w_seg_p, segs in by_len.items():
+        for cl, _ in segs:
+            margin = max(
+                margin,
+                2 + cl.start_index // PERM_GROUP
+                + -(-(w_seg_p - 1) // PERM_GROUP) + 1 - n_groups,
+            )
+    n_sig_pad = n_groups + margin
+
+    warm = Precompiler()
+    _sds = jax.ShapeDtypeStruct
+
+    def _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices):
+        def fn():
+            i32 = jnp.int32
+            seg = _sds((n_seg_pad,), i32)
+            _stack_stat.lower(
+                _sds((n_groups + 1, oh_cols), oh_dt),
+                _sds((n_slices * sub_rep, n_sig_pad), jnp.int32),
+                seg, seg, seg,
+                _sds((n_pts_pad * Jf, 2, ht.n_cells + 1), i32),
+                _sds((n_pts_pad * Jf, 2, ht.n_cells), jnp.float32),
+                _sds(ht.t3.shape, ht.t3.dtype),
+                w_seg_p=w_seg_p, n_seg=n_seg_pad, n_rows=n_rows,
+                n_cells=ht.n_cells, n_alpha=ht.n_alpha, sub_rep=sub_rep,
+                n_slices=n_slices, n_pts=n_pts_pad, Jf=Jf,
+                mm_bf16=cfg.hist_bf16,
+            ).compile()
+
+        warm.submit(
+            ("stack", w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices), fn
+        )
+
+    K = sum(n for _, segs in by_len.items() for _, n in segs)
+    b0 = _boost_levels(K, n_groups, cfg)[0]
+    R0 = min(cfg.chunk_replicates * b0, max(cfg.n_permute, 1))
+    for w_seg_p, segs in sorted(by_len.items()):
+        S_pad = _ladder_pad(len(segs))
+        n_pts = sum(n for _, n in segs)
+        n_pts_pad = _pad_pow2(max(n_pts, 1), minimum=4)
+        sub_rep = _sub_rep_for(ht, S_pad, w_seg_p)
+        _warm_stack(w_seg_p, S_pad, n_pts_pad, 1, 1)  # threshold pass
+        p = n_pts_pad
+        for rung in range(5):
+            for d in set(_plan_ds(
+                (-(-R0 // sub_rep) * sub_rep) // sub_rep,
+                _plan_m(_slice_cost_for(ht, S_pad, w_seg_p, p, Jf,
+                                        sub_rep)),
+            )):
+                _warm_stack(w_seg_p, S_pad, p, sub_rep, d)
+            if p == 4:
+                break
+            p = max(p // 2, 4)
+    return warm
+
+
+def _boost_levels(n_act, n_groups, cfg):
+    """(initial boost, cap) — the adaptive-cadence rule of the hist driver
+    as a pure function, for shape prediction (prewarm_hist_permute)."""
+    R_gen = -(-cfg.chunk_replicates // HIST_REP_SUB) * HIST_REP_SUB
+    boost_cap = max(1, 1_024_000_000 // max(n_groups, 1) // max(R_gen, 1))
+    b = 1
+    if n_act <= HIST_POINT_BUCKET // 4:
+        b = 16
+    if n_act <= HIST_POINT_BUCKET // 16:
+        b = 64
+    while b > boost_cap:
+        b //= 4
+    return max(b, 1), boost_cap

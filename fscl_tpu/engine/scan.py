@@ -41,7 +41,15 @@ class ScanConfig:
     bp_resl: int = 128  # position refinement resolution (fscl.c:174)
     small_grid_sp: int = 1000  # fine grid pitch in bp (fscl.c:158)
     large_grid_sp: int = 100000  # coarse interval width in bp (fscl.c:159)
-    chunk: int = 8  # candidate chunk in the CLR kernel
+    chunk: int = 32  # candidate chunk in the exact CLR kernel: the
+    # lattice kernel runs a lax.scan over candidate chunks, and the scan's
+    # per-step overhead dominated the exact re-eval stage at 8 (the
+    # genome1m profile showed ~0.45 s/chromosome, mostly step overhead);
+    # 32 keeps per-step transients a few MB while cutting steps 4x
+    hist_c_sub: int = 256  # dense-stage candidate chunk (ops/histclr.py
+    # hist_clr lax.scan): 64 made the genome1m dense stage ~16k sequential
+    # scan steps (~10 us/candidate, step-overhead-bound); 256 cuts steps
+    # 4x and feeds the MXU full 256-row matmuls
     refine: bool = True  # bp_resl refinement pass
     # cap on (candidates x padded sites) per device dispatch: long single
     # dispatches (> ~20s) can trip TPU-runtime watchdogs, and every distinct
@@ -248,6 +256,7 @@ class _HistScanContext:
             ht, self.pos_np, qbits=getattr(data, "_hist_qbits", None)
         )
         self.eval_range = cfg.eval_range
+        self.c_sub = getattr(cfg, "hist_c_sub", 256)
         self.mesh = mesh
 
     def eval_max_device(self, cand_flat):
@@ -274,7 +283,7 @@ class _HistScanContext:
         clr = hist_clr(
             ht.t3, hp.bounds, hp.fbar, self.row_c,
             n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
-            c_sub=64, weights=ht.weights,
+            c_sub=self.c_sub, weights=ht.weights,
         )[: len(cand_flat)]
         a = jnp.argmax(clr, axis=1)
         best = jnp.take_along_axis(clr, a[:, None], axis=1)[:, 0]
