@@ -277,6 +277,15 @@ def compare_parity(ours_tsv, ref_tsv, clr_rtol=0.02, clr_atol=0.5):
         return out
     o_clr = np.array([r[2] for r in ours])
     r_clr = np.array([r[2] for r in ref])
+    bad_ref = ~np.isfinite(r_clr)
+    if bad_ref.any():
+        # the reference emits infinite CLRs on singleton-free data with an
+        # estimated background (PARITY.md reference bug #8) — that is a
+        # reference defect, not an agreement check; fail with the reason
+        out["parity_pass"] = False
+        out["parity_ref_nonfinite"] = int(bad_ref.sum())
+        out["parity_fail_reason"] = "reference output non-finite"
+        return out
     # deficit = ref found a higher max in an interval than our dense scan
     deficit = r_clr - o_clr
     tol = clr_atol + clr_rtol * np.abs(r_clr)
@@ -289,8 +298,17 @@ def compare_parity(ours_tsv, ref_tsv, clr_rtol=0.02, clr_atol=0.5):
         not bad.any()
         and o_clr.max() >= r_clr.max() - clr_atol
     )
-    # permutation p columns: ours col 4/5 = permute_p, permute_n when present
-    if ours and len(ours[0][4]) >= 2 and len(ref[0][4]) >= 2:
+    # permutation p columns: ours col 4/5 = permute_p, permute_n when
+    # present.  Both output schemas have 3 trailing columns
+    # (scan-chromosome.c:731-745): permutation mode ends in -log10(p),
+    # scan-only mode in window END POSITIONS (huge integers) — tell them
+    # apart by the magnitude of the last column.
+    def _is_perm(rows):
+        return all(
+            len(r[4]) >= 3 and abs(float(r[4][2])) < 1e4 for r in rows[:5]
+        )
+
+    if ours and _is_perm(ours) and _is_perm(ref):
         try:
             po = np.array([
                 (int(r[4][0]) - 1) / max(int(r[4][1]) - 1, 1) for r in ours
@@ -505,6 +523,42 @@ def cfg_mixed100k(args):
     merge_results("mixed100k", out)
 
 
+def genome1m_neutral_parity(run_ours=True, run_ref_side=True):
+    """At-scale CLR parity for genome1m under the forced neutral spectrum.
+
+    The K>=2 rare-allele filter leaves the dataset singleton-free, and the
+    reference emits INFINITE CLRs genome-wide when it estimates a
+    background from such data (reference bug #8, PARITY.md: the f=1 class
+    of the estimated spectrum is zero and the sweep-model log-prob spline
+    pipeline diverges; injecting a dozen singletons restores finite
+    output).  Parity at this scale therefore compares both scanners with
+    --force-neutral-spectrum — same data, same model basis, scan-only —
+    while the performance numbers stay on the estimated-background
+    config, whose model path is parity-checked on the singleton-carrying
+    configs (ms_*, mixed100k).
+    """
+    path = gen_genome1m()
+    ours_out = DATA / "headline_genome1m_neutral.ours.tsv"
+    ref_out = DATA / "headline_genome1m_neutral.ref.tsv"
+    out = {}
+    if run_ours:
+        out["neutral_ours_scan_s"] = round(run_ours_cli(
+            ["-f", str(path), "-o", str(ours_out),
+             "--force-neutral-spectrum", "-v", "0"]
+        ), 2)
+    if run_ref_side:
+        out["neutral_ref_scan_s"] = round(run_ref(
+            ["-f", str(path), "-o", str(ref_out),
+             "--force-neutral-spectrum", "-v", "0"]
+        ), 2)
+    if ours_out.exists() and ref_out.exists():
+        out.update({
+            "neutral_" + k: v
+            for k, v in compare_parity(ours_out, ref_out).items()
+        })
+    return out
+
+
 def cfg_genome1m(args):
     path = gen_genome1m()
     out = {}
@@ -525,6 +579,9 @@ def cfg_genome1m(args):
         )
     if ours_out.exists() and ref_out.exists():
         out.update(compare_parity(ours_out, ref_out))
+    out.update(genome1m_neutral_parity(
+        run_ours=not args.ref_only, run_ref_side=not args.ours_only
+    ))
     merge_results("genome1m", out)
 
 

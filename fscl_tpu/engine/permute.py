@@ -1135,7 +1135,11 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     b0 = _boost(int(active.sum()))
     R0 = min(cfg.chunk_replicates * b0, max(cfg.n_permute - rounds_done, 1))
     for st in stacks:
-        st.rebuild(result, _active_by_chr(st, np.ones(K, bool)))
+        # geometry and thresholds only for points still ACTIVE: finished
+        # points (checkpoint resume, pruning-tail reruns) never consume
+        # their threshold, and building 10k-point geometry to serve a
+        # 22-point tail made setup ~10x slower than needed
+        st.rebuild(result, _active_by_chr(st, active))
         # warm the threshold + first-chunk programs (and the sigma
         # generator) on the background pool: thresholds for later stacks
         # compile in parallel with the first stack's, and the first
@@ -1233,7 +1237,11 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                                 st.w_seg_p, pred[0], pred[1], pred[2], R,
                                 nshard,
                             )
-                            if shard_now or rung_warm:
+                            # defer only GENTLE rungs: running a chunk on
+                            # 8x-oversized stale geometry costs more than
+                            # blocking on the new rung's compile
+                            if (shard_now or rung_warm
+                                    or st.n_pts_pad >= 8 * pred[1]):
                                 st.rebuild(
                                     result, _active_by_chr(st, active)
                                 )
