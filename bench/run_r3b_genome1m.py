@@ -1,14 +1,16 @@
-"""Genome1m headline re-measure with the prewarmed pipeline.
+"""Round-3b measurement batch: the updated engine, one TPU process.
 
-Runs AFTER bench/run_r3_measurements.py in a fresh process: the persistent
-compile cache is hot from that run, so this measures the production
-steady-state (second-and-later runs on a machine; first runs additionally
-pay background-compile latency, bounded by the r3 log).  Also records the
-scan wall at the larger dense/exact chunk sizes.
+Runs AFTER bench/run_r3_measurements.py recorded the first-run (cold
+persistent cache) genome1m numbers.  This process measures the updated
+engine — prewarmed pipeline, active-only setup, bounded rebuild deferral,
+larger scan chunk sizes — with the persistent cache hot from the first
+run, i.e. the production steady state.  Stage order puts the headline
+(genome1m) first so a wall-clock cutoff loses only secondary stages.
 
 Run EXCLUSIVELY on the axon tunnel:  python bench/run_r3b_genome1m.py
 """
 
+import copy
 import importlib.util
 import json
 import pathlib
@@ -19,6 +21,8 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 import bench as _b  # noqa: F401  (compile cache)
+
+import numpy as np
 
 spec = importlib.util.spec_from_file_location(
     "headline", REPO / "bench" / "headline.py"
@@ -40,9 +44,11 @@ def main():
 
     import fscl_tpu.engine.permute as P
 
+    # ---- genome1m headline (updated engine, warm cache) ------------------
     path = H.gen_genome1m()
     ours_out = H.DATA / "headline_genome1m.ours.tsv"
     ref_out = H.DATA / "headline_genome1m.ref.tsv"
+    prev = json.loads(H.RESULTS.read_text()).get("genome1m", {})
     out = H._run_ours_phased(path, 100_000, out_tsv=ours_out)
     if ref_out.exists():
         out.update(H.compare_parity(ours_out, ref_out))
@@ -50,18 +56,74 @@ def main():
         k: round(v, 2) if isinstance(v, float) else v
         for k, v in P.last_stats.items()
     }
-    prev = json.loads((H.DATA.parent / "headline_results.json").read_text())
-    g = prev.get("genome1m", {})
-    out["first_run_perm_s"] = g.get("ours_perm_s")
-    out["first_run_pr_per_s"] = g.get("ours_point_rounds_per_s")
+    out["first_run_perm_s"] = prev.get("ours_perm_s")
+    out["first_run_pr_per_s"] = prev.get("ours_point_rounds_per_s")
     H.merge_results("genome1m", out)
-    log(f"genome1m (warm cache, prewarmed): {json.dumps(out)}")
+    log(f"genome1m (r3b): {json.dumps(out)}")
 
-    # at-scale CLR parity under the forced neutral spectrum (reference
-    # bug #8 blocks the estimated-background comparison; see headline.py)
-    out2 = H.genome1m_neutral_parity()
+    # ---- at-scale neutral-spectrum parity (ours side) --------------------
+    out2 = H.genome1m_neutral_parity(run_ref_side=False)
     H.merge_results("genome1m", out2)
     log(f"neutral parity: {json.dumps(out2)}")
+
+    # ---- asc100k ours ----------------------------------------------------
+    apath = H.gen_asc100k()
+    a_ours = H.DATA / "headline_asc100k.ours.tsv"
+    a_ref = H.DATA / "headline_asc100k.ref.tsv"
+    aout = H._run_ours_phased(apath, 10_000, asc_depth=20, asc_min=2,
+                              out_tsv=a_ours)
+    if a_ref.exists():
+        aout.update(H.compare_parity(a_ours, a_ref))
+    H.merge_results("asc100k", aout)
+    log(f"asc100k done: {json.dumps(aout)}")
+
+    # ---- mixed100k ours --------------------------------------------------
+    mpath = H.gen_mixed100k()
+    m_ours = H.DATA / "headline_mixed100k.ours.tsv"
+    m_ref = H.DATA / "headline_mixed100k.ref.tsv"
+    mout = H._run_ours_phased(mpath, 10_000, out_tsv=m_ours)
+    if m_ref.exists():
+        mout.update(H.compare_parity(m_ours, m_ref))
+    H.merge_results("mixed100k", mout)
+    log(f"mixed100k done: {json.dumps(mout)}")
+
+    # ---- pruning-tail profile (updated engine) ---------------------------
+    from fscl_tpu.engine import PermuteConfig, ScanConfig, scan_genome, \
+        scan_permute
+    from fscl_tpu.io import load_snp_input
+    from fscl_tpu.models import background_fsp, build_tables
+
+    data = load_snp_input(path)
+    fsp = background_fsp(
+        data.obs_freq, data.depth_p, data.folded, data.sample_depths
+    )
+    tables = build_tables(fsp, data.sample_depths, grid_points=2048)
+    data.attach_model(tables)
+    cfg = ScanConfig(small_grid_sp=1000, large_grid_sp=100000)
+    result0 = scan_genome(data, tables, cfg)
+    keep = np.array([
+        np.where(result0.chr_id == c)[0][
+            np.argmax(result0.clr[result0.chr_id == c])
+        ]
+        for c in range(data.n_chromosomes)
+    ])
+    pc = PermuteConfig(n_permute=4096, chunk_replicates=32, seed=1)
+    walls = []
+    for rep in range(2):
+        tail = copy.deepcopy(result0)
+        tail.permute_finished[:] = True
+        tail.permute_finished[keep] = False
+        t0 = time.monotonic()
+        scan_permute(data, tables, tail, cfg, copy.deepcopy(pc))
+        walls.append(time.monotonic() - t0)
+        pr = int(tail.permute_n[keep].sum())
+    log(f"tail({len(keep)} pts): cold {walls[0]:.1f}s warm {walls[1]:.1f}s, "
+        f"{pr} pr -> {pr / walls[1]:.0f} pr/s; stats {P.last_stats}")
+    H.merge_results("genome1m", {
+        "tail_points": int(len(keep)), "tail_point_rounds": pr,
+        "tail_pr_per_s_warm": round(pr / walls[1], 1),
+        "tail_pr_per_s_cold": round(pr / walls[0], 1),
+    })
 
 
 if __name__ == "__main__":
