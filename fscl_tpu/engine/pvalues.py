@@ -73,20 +73,48 @@ def fit_scaled_chi2(null_clr, eps=1e-6):
     return frac, k, max(df, 1e-3)
 
 
-def chi2_tail_projection(obs_clr, null_clr, eps=1e-6):
+def chi2_tail_projection(obs_clr, null_clr, eps=1e-6, anchor_rank=10):
     """Projected tail p-value for one scan point from its null reservoir.
 
-    A fitted positive tail extrapolates below 1/n resolution (the point of
-    the projection), but a reservoir with NO positive values carries no
-    tail model at all — there the result is floored at 1/(n_null+1)
-    instead of reporting an exact 0 (infinite significance) from a few
-    uninformative permutations."""
+    Anchored tail-ratio form (the peaks-over-threshold recipe standard for
+    permutation tails, cf. Knijnenburg et al. 2009; the README's
+    chi-square tail description, README.md:9-13, described-but-never-
+    implemented in the C):
+
+      * where the reservoir RESOLVES the p-value (>= anchor_rank nulls at
+        or above the observed CLR) the projection IS the empirical rank
+        estimate r/(n+1) — no parametric error where data suffices;
+      * beyond resolution, the p-value extrapolates from the anchor (the
+        anchor_rank-th largest null) by the fitted scaled-chi-square's
+        conditional tail ratio sf(obs)/sf(anchor) — only the SHAPE of the
+        fit matters, so anchor-point miscalibration cancels.
+
+    A reservoir with NO positive values carries no tail model at all —
+    there the result is floored at 1/(n_null+1) instead of reporting an
+    exact 0 (infinite significance) from a few uninformative
+    permutations."""
     x = np.asarray(null_clr, dtype=np.float64)
+    x = x[np.isfinite(x)]
+    n = x.size
+    if n == 0:
+        return 1.0
+    obs = max(float(obs_clr), 0.0)
+    r_obs = int(np.sum(x >= obs)) if obs > eps else n
+    if obs <= eps:
+        return 1.0
+    if r_obs >= anchor_rank:
+        return float((r_obs + 1.0) / (n + 1.0))
     frac, k, df = fit_scaled_chi2(x, eps)
     if frac == 0.0:
-        return 1.0 / (x.size + 1.0) if obs_clr > eps else 1.0
-    tail = stats.chi2.sf(max(obs_clr, 0.0) / k, df)
-    return float(frac * tail + (1.0 - frac) * (obs_clr <= eps))
+        return 1.0 / (n + 1.0)
+    r = min(anchor_rank, int(round(frac * n))) or 1
+    x0 = np.sort(x)[-r]  # r-th largest null = the anchor
+    p_anchor = (r + 1.0) / (n + 1.0)
+    sf0 = stats.chi2.sf(max(x0, eps) / k, df)
+    if sf0 <= 0:
+        return float(p_anchor)  # anchor already past fp tail resolution
+    ratio = stats.chi2.sf(obs / k, df) / sf0
+    return float(min(p_anchor * ratio, p_anchor))
 
 
 def projected_pvalues(result):

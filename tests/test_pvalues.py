@@ -109,3 +109,22 @@ def test_projection_calibrated_on_engine_nulldist():
     lr = np.abs(np.log10(proj / emp))
     assert np.median(lr) < 0.35, (proj, emp)
     assert lr.max() < 1.0, (proj, emp)
+
+
+def test_anchored_projection_matches_empirical_when_resolved():
+    """Where the reservoir resolves the p-value (>= anchor_rank nulls at or
+    above obs), the projection IS the rank estimate — zero parametric
+    error; beyond the anchor it decreases monotonically via the fitted
+    tail ratio (round-3 anchored form)."""
+    rng = np.random.default_rng(5)
+    x = 1.5 * rng.chisquare(2.0, size=5000)
+    obs = np.quantile(x, 0.99)  # ~50 nulls above: fully resolved
+    r = int(np.sum(x >= obs))
+    p = chi2_tail_projection(obs, x)
+    assert p == pytest.approx((r + 1) / (len(x) + 1), rel=1e-9)
+
+    # beyond resolution: anchored ratio, strictly decreasing, below anchor p
+    obs_hi = np.sort(x)[-3] + 1.0
+    p_hi = chi2_tail_projection(obs_hi, x)
+    assert p_hi < 11 / (len(x) + 1)
+    assert chi2_tail_projection(obs_hi + 5, x) < p_hi
