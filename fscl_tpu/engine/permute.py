@@ -868,10 +868,12 @@ class _StackGroup:
         n_act = len(on)
         if n_act == 0:
             return None
-        live_chr = len(np.unique(result.chr_id[on]))
-        S_pad = _ladder_pad(max(live_chr, 1))
+        chrs, counts = np.unique(result.chr_id[on], return_counts=True)
+        S_pad = _ladder_pad(max(len(chrs), 1))
         n_pts_pad = _pad_pow2(max(n_act, 1), minimum=4)
-        return S_pad, n_pts_pad, _sub_rep_for(self.ht, S_pad, self.w_seg_p)
+        n_cp = _pad_pow2(int(counts.max()), minimum=4)
+        return (S_pad, n_pts_pad,
+                _sub_rep_for(self.ht, S_pad, self.w_seg_p), n_cp)
 
 
 def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
@@ -1117,6 +1119,35 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         ]
         return all(warm.ready(k) for k in keys)
 
+    def _warm_points_for(st, n_cp):
+        """Warm the geometry-build program (_device_points) for a
+        candidate-pad class: rebuilds call it foreground, and each new
+        class costs a fresh tunnel compile (the 26-43 s chunks in the
+        round-3 genome1m log were exactly these)."""
+        from ..ops.histclr import _device_points
+
+        C = n_cp * Jf
+        ready = True
+        for seg in st.segs:
+            dev = seg[4]
+            sig = tuple(
+                (tuple(a.shape), str(a.dtype)) for a in dev[:-1]
+            )
+            key = ("points", sig, C, dev[-1])
+
+            def fn(dev=dev, C=C):
+                sds = jax.ShapeDtypeStruct
+                args = [sds(a.shape, a.dtype) for a in dev[:-1]]
+                ci = sds((C,), jnp.int32)
+                _device_points.lower(
+                    *args, ci, ci, ci, ci,
+                    n_cells=ht.n_cells, qbits=dev[-1],
+                ).compile()
+
+            warm.submit(key, fn)
+            ready = ready and warm.ready(key)
+        return ready
+
     def _stat_call(st, sig, n_slices):
         return _stack_stat(
             oh_table, sig, st.seg_g0, st.seg_off, st.seg_n,
@@ -1154,9 +1185,12 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             # needed shortly — compile them now, in likely-use order,
             # while the early chunks run on the setup geometry
             p = st.n_pts_pad
+            n_cp0 = -(-p // max(len(st.segs), 1))
             for _ in range(4):
                 p = max(p // 2, 4)
+                n_cp0 = max(n_cp0 // 2, 4)
                 _warm_rung(st.w_seg_p, st.n_seg_pad, p, st.sub_rep, R0)
+                _warm_points_for(st, _pad_pow2(n_cp0, minimum=4))
                 if p == 4:
                     break
     _warm_sigma(R_gen * b0 + q_max)
@@ -1233,9 +1267,12 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                             2 * pred[1] <= st.n_pts_pad
                             or pred[0] < st.n_seg_pad
                         ):
-                            rung_warm = _warm_rung(
-                                st.w_seg_p, pred[0], pred[1], pred[2], R,
-                                nshard,
+                            rung_warm = (
+                                _warm_rung(
+                                    st.w_seg_p, pred[0], pred[1], pred[2],
+                                    R, nshard,
+                                )
+                                & _warm_points_for(st, pred[3])
                             )
                             # defer only GENTLE rungs: running a chunk on
                             # 8x-oversized stale geometry costs more than
