@@ -28,13 +28,29 @@ grep -q 'j = n_snps - k;' "$REF/scan-chromosome.c" || {
 sed 's/j = n_snps - k;/\/* bench fix: j = n_snps - k made j negative *\//' \
     "$REF/scan-chromosome.c" > "$PATCHED/scan-chromosome.c"
 
-COMMON="$REF/fscl.c $REF/snp-input.c $REF/background-fsp.c $REF/asc-bias.c
-        $REF/sm-spline.c $REF/sm-search.c $PATCHED/scan-chromosome.c
+# The ms binary additionally opens the per-block output in APPEND mode:
+# the reference reopens it with "w" for every ms block so only the last
+# replicate's rows survive (PARITY.md bug #3) — useless for a per-block
+# parity comparison.  Harness callers unlink the file before each run.
+grep -q 'fopen(output_fname, "w")' "$REF/scan-chromosome.c" || {
+  echo "build_ref.sh: output fopen pattern not found" >&2
+  exit 1
+}
+sed 's/fopen(output_fname, "w")/fopen(output_fname, "a")/' \
+    "$PATCHED/scan-chromosome.c" > "$PATCHED/scan-chromosome-ms.c"
+
+common() {
+  echo "$REF/fscl.c $REF/snp-input.c $REF/background-fsp.c $REF/asc-bias.c
+        $REF/sm-spline.c $REF/sm-search.c $1
         $REF/logmsg.c $REF/cmdline-utils.c bench/refstubs/stubs.c"
+}
 
 gcc -O2 -march=native -fopenmp -I"$REF" -Ibench/refstubs \
-    -o bench/fscl_ref_ms $COMMON \
+    -o bench/fscl_ref_ms $(common "$PATCHED/scan-chromosome-ms.c") \
     bench/refstubs/msparse.c bench/refstubs/msinput_fixed.c \
     -lm -lpthread 2>/dev/null
-cp bench/fscl_ref_ms bench/fscl_ref
-echo "built bench/fscl_ref_ms (= bench/fscl_ref)"
+gcc -O2 -march=native -fopenmp -I"$REF" -Ibench/refstubs \
+    -o bench/fscl_ref $(common "$PATCHED/scan-chromosome.c") \
+    bench/refstubs/msparse.c bench/refstubs/msinput_fixed.c \
+    -lm -lpthread 2>/dev/null
+echo "built bench/fscl_ref_ms (append-mode output) and bench/fscl_ref"

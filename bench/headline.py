@@ -253,7 +253,8 @@ def _read_tsv(path):
     return rows
 
 
-def compare_parity(ours_tsv, ref_tsv, clr_rtol=0.02, clr_atol=0.5):
+def compare_parity(ours_tsv, ref_tsv, clr_rtol=0.02, clr_atol=0.5,
+                   perm_cols=False):
     """Programmatic ours-vs-reference output agreement for one config.
 
     Both scanners emit ONE row per coarse interval in (chr, interval)
@@ -263,15 +264,21 @@ def compare_parity(ours_tsv, ref_tsv, clr_rtol=0.02, clr_atol=0.5):
         a dense superset of the reference's greedy bisection probes, so
         ours may exceed ref; a DEFICIT beyond tolerance is a failure);
       * max-CLR dominance: our global max >= the reference's - atol;
-      * when both carry permutation columns, empirical-p sanity: mean
-        |p_ours - p_ref| bounded (different RNG streams — agreement is
-        statistical, not bitwise; PARITY.md).
+      * when both carry permutation columns (``perm_cols=True``, decided
+        by the caller from its run configuration — n_permute > 0 on both
+        sides), per-interval p agreement as a two-sample proportion test:
+        different RNG streams by design (PARITY.md), so each side's
+        (permute_p, permute_n) counts estimate the same per-interval
+        exceedance probability; a z-score beyond 4 combined standard
+        errors flags the interval, and the gate allows a small flagged
+        fraction (the pruning stop makes the counts only approximately
+        binomial).
     Returns a dict merged into headline_results.json, with pass/fail.
     """
     ours = _read_tsv(ours_tsv)
     ref = _read_tsv(ref_tsv)
     out = {"parity_rows_ours": len(ours), "parity_rows_ref": len(ref)}
-    if len(ours) != len(ref):
+    if len(ours) != len(ref) or not ours:
         out["parity_pass"] = False
         out["parity_fail_reason"] = "row count mismatch"
         return out
@@ -298,32 +305,33 @@ def compare_parity(ours_tsv, ref_tsv, clr_rtol=0.02, clr_atol=0.5):
         not bad.any()
         and o_clr.max() >= r_clr.max() - clr_atol
     )
-    # permutation p columns: ours col 4/5 = permute_p, permute_n when
-    # present.  Both output schemas have 3 trailing columns
-    # (scan-chromosome.c:731-745): permutation mode ends in -log10(p),
-    # scan-only mode in window END POSITIONS (huge integers) — tell them
-    # apart by the magnitude of the last column.
-    def _is_perm(rows):
-        return all(
-            len(r[4]) >= 3 and abs(float(r[4][2])) < 1e4 for r in rows[:5]
-        )
-
-    if ours and _is_perm(ours) and _is_perm(ref):
+    if perm_cols:
         try:
-            po = np.array([
-                (int(r[4][0]) - 1) / max(int(r[4][1]) - 1, 1) for r in ours
-            ])
-            pr_ = np.array([
-                (int(r[4][0]) - 1) / max(int(r[4][1]) - 1, 1) for r in ref
-            ])
-            # statistical agreement: different RNG streams and permutation
-            # counts; compare where both sides resolved the p-value
-            both = (po >= 0) & (pr_ >= 0)
-            out["parity_p_mean_absdiff"] = round(
-                float(np.abs(po[both] - pr_[both]).mean()), 4
+            co = np.array([[int(r[4][0]), int(r[4][1])] for r in ours],
+                          dtype=np.float64)
+            cr = np.array([[int(r[4][0]), int(r[4][1])] for r in ref],
+                          dtype=np.float64)
+            # two-sample proportion z on the exceedance counts, with a
+            # continuity floor of half an exceedance per side so fully
+            # unresolved intervals (p=0 on few permutations) never divide
+            # by zero; 4-sigma flags, <=3% flagged passes (the adaptive
+            # pruning stop biases the counts slightly off-binomial, and
+            # 1000 intervals at 4 sigma expect ~0 false flags)
+            po = np.clip(co[:, 0], 0.5, None) / np.maximum(co[:, 1], 1.0)
+            pr_ = np.clip(cr[:, 0], 0.5, None) / np.maximum(cr[:, 1], 1.0)
+            se2 = (
+                po * (1 - po) / np.maximum(co[:, 1], 1.0)
+                + pr_ * (1 - pr_) / np.maximum(cr[:, 1], 1.0)
             )
-            ok = ok and out["parity_p_mean_absdiff"] < 0.15
-        except (ValueError, ZeroDivisionError):
+            z = (po - pr_) / np.sqrt(np.maximum(se2, 1e-12))
+            flagged = np.abs(z) > 4.0
+            out["parity_p_flagged"] = int(flagged.sum())
+            out["parity_p_flagged_frac"] = round(
+                float(flagged.mean()), 4
+            )
+            out["parity_p_zmax"] = round(float(np.abs(z).max()), 2)
+            ok = ok and flagged.mean() <= 0.03
+        except (ValueError, IndexError, ZeroDivisionError):
             pass
     out["parity_pass"] = bool(ok)
     return out
@@ -331,12 +339,22 @@ def compare_parity(ours_tsv, ref_tsv, clr_rtol=0.02, clr_atol=0.5):
 
 # ---------------------------------------------------------------- configs
 
+def _both_nonempty(ours_out, ref_out):
+    """Gate parity comparison on both TSVs existing with content — a
+    --ref-only run must not compare against a stale or empty ours file."""
+    return (
+        ours_out.exists() and ours_out.stat().st_size > 0
+        and ref_out.exists() and ref_out.stat().st_size > 0
+    )
+
+
 def cfg_ms_neutral(args):
     path = gen_ms_neutral()
     out = {}
+    ours_out = DATA / "headline_ms_neutral.ours.tsv"
+    ref_out = DATA / "headline_ms_neutral.ref.tsv"
     if not args.ref_only:
         absorb_device_tax()
-        ours_out = DATA / "headline_ms_neutral.ours.tsv"
         argv = ["-m", str(path), "--ms-segment-length", "1000000",
                 "--compat-mirror-unfolded",  # reference bug #1 parity
                 "-p", "100", "-o", str(ours_out), "-v", "2"]
@@ -345,21 +363,25 @@ def cfg_ms_neutral(args):
         out.update(ours_wall_s=round(w2, 2), ours_wall_cold_s=round(w1, 2),
                    ours_point_rounds=point_rounds_from_tsv(ours_out))
     if not args.ours_only:
-        ref_out = DATA / "headline_ms_neutral.ref.tsv"
+        ref_out.unlink(missing_ok=True)  # append-mode ms binary
         w = run_ref(["-m", str(path), "--ms-segment-length=1000000",
                      "-p", "100", "-o", str(ref_out), "-v", "0"],
                     binary=REF_MS_BIN)
         out.update(ref_wall_s=round(w, 2),
                    ref_point_rounds=point_rounds_from_tsv(ref_out))
+    if _both_nonempty(ours_out, ref_out):
+        out["parity_compat_mode"] = "compat_mirror_unfolded"
+        out.update(compare_parity(ours_out, ref_out, perm_cols=True))
     merge_results("ms_neutral", out)
 
 
 def cfg_ms_sweep(args):
     path, seg_bp = gen_ms_sweep()
     out = {}
+    ours_out = DATA / "headline_ms_sweep.ours.tsv"
+    ref_out = DATA / "headline_ms_sweep.ref.tsv"
     if not args.ref_only:
         absorb_device_tax()
-        ours_out = DATA / "headline_ms_sweep.ours.tsv"
         argv = ["-m", str(path), "--ms-segment-length", str(seg_bp),
                 "--ms-folded", "-p", "100", "-o", str(ours_out), "-v", "2"]
         w1 = run_ours_cli(argv)
@@ -367,12 +389,16 @@ def cfg_ms_sweep(args):
         out.update(ours_wall_s=round(w2, 2), ours_wall_cold_s=round(w1, 2),
                    ours_point_rounds=point_rounds_from_tsv(ours_out))
     if not args.ours_only:
-        ref_out = DATA / "headline_ms_sweep.ref.tsv"
+        ref_out.unlink(missing_ok=True)  # append-mode ms binary
         w = run_ref(["-m", str(path), f"--ms-segment-length={seg_bp}",
                      "--ms-folded", "-p", "100", "-o", str(ref_out),
                      "-v", "0"], binary=REF_MS_BIN)
         out.update(ref_wall_s=round(w, 2),
                    ref_point_rounds=point_rounds_from_tsv(ref_out))
+    if _both_nonempty(ours_out, ref_out):
+        # all-folded data: the mirrored-unfolded accumulation (bug #1)
+        # never fires, so no compat mode is needed for model parity
+        out.update(compare_parity(ours_out, ref_out, perm_cols=True))
     merge_results("ms_sweep", out)
 
 
@@ -406,8 +432,13 @@ def _pvalue_calibration(result):
 
 def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
                      chunk_replicates=32, null_dist_save=10000,
-                     out_tsv=None):
-    """Library-level run with phase walls (scan vs permutation)."""
+                     out_tsv=None, compat_mirror=False):
+    """Library-level run with phase walls (scan vs permutation).
+
+    ``compat_mirror`` reproduces the reference's mirrored-unfolded
+    background accumulation (reference bug #1, PARITY.md) so parity
+    comparisons run both scanners on the same model basis.
+    """
     from fscl_tpu.engine import (
         PermuteConfig, ScanConfig, scan_genome, scan_permute,
     )
@@ -424,6 +455,7 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
     t0 = time.monotonic()
     fsp = background_fsp(
         data.obs_freq, data.depth_p, data.folded, data.sample_depths,
+        compat_mirror_unfolded=compat_mirror,
     )
     tables = build_tables(
         fsp, data.sample_depths, grid_points=2048,
@@ -435,12 +467,17 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
     scan_cfg = ScanConfig(small_grid_sp=1000, large_grid_sp=100000)
     pc = PermuteConfig(n_permute=n_permute, chunk_replicates=chunk_replicates,
                        seed=1, null_dist_save=null_dist_save)
+    t_prewarm = 0.0
     if n_permute > 0:
         # production pipeline order: permutation programs compile in the
-        # background while the scan runs (engine/permute.py prewarm)
+        # background while the scan runs (engine/permute.py prewarm);
+        # its synchronous setup (hist tables, geometry checks) is timed
+        # separately so phase walls sum to true wall time
         from fscl_tpu.engine.permute import prewarm_hist_permute
 
+        t0 = time.monotonic()
         prewarm_hist_permute(data, tables, scan_cfg, pc)
+        t_prewarm = time.monotonic() - t0
     t0 = time.monotonic()
     result = scan_genome(data, tables, scan_cfg)
     t_scan_cold = time.monotonic() - t0
@@ -463,6 +500,7 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
         n_points=int(result.n_points),
         ours_load_s=round(t_load, 2),
         ours_model_s=round(t_model, 2),
+        ours_prewarm_s=round(t_prewarm, 2),
         ours_scan_s=round(t_scan, 2),
         ours_scan_cold_s=round(t_scan_cold, 2),
         ours_perm_s=round(t_perm, 2),
@@ -474,13 +512,20 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
 
 
 def cfg_asc100k(args):
+    """Ascertainment headline.  The dataset is all-UNFOLDED, so the
+    reference's background estimate is mirrored (reference bug #1,
+    background-fsp.c:226-233) — parity therefore runs ours in
+    --compat-mirror-unfolded mode so both scanners share the model basis
+    (VERDICT r2 item 1); the documented-default model differs deliberately.
+    """
     path = gen_asc100k()
     out = {}
     ours_out = DATA / "headline_asc100k.ours.tsv"
     ref_out = DATA / "headline_asc100k.ref.tsv"
     if not args.ref_only:
         out.update(_run_ours_phased(path, 10_000, asc_depth=20, asc_min=2,
-                                    out_tsv=ours_out))
+                                    out_tsv=ours_out,
+                                    compat_mirror=not args.no_compat))
     if not args.ours_only:
         n_ref = int(args.ref_permute or 100)
         w_scan = run_ref(["-f", str(path), "-o", str(ref_out),
@@ -494,19 +539,27 @@ def cfg_asc100k(args):
             ref_perm_s=round(w - w_scan, 2), ref_point_rounds=pr,
             ref_point_rounds_per_s=round(pr / max(w - w_scan, 1e-9), 2),
         )
-    if ours_out.exists() and ref_out.exists():
-        out.update(compare_parity(ours_out, ref_out))
+    if _both_nonempty(ours_out, ref_out) and not args.ref_only:
+        out["parity_compat_mode"] = (
+            "default" if args.no_compat else "compat_mirror_unfolded"
+        )
+        out.update(compare_parity(ours_out, ref_out, perm_cols=True))
     merge_results("asc100k", out)
 
 
 def cfg_mixed100k(args):
-    """Mixed/missing-depth headline: 31 distinct depths + folded mix."""
+    """Mixed/missing-depth headline: 31 distinct depths + folded mix.
+
+    70% of sites are unfolded, so reference bug #1 mirrors its estimated
+    background — parity runs in compat mode like asc100k.
+    """
     path = gen_mixed100k()
     out = {}
     ours_out = DATA / "headline_mixed100k.ours.tsv"
     ref_out = DATA / "headline_mixed100k.ref.tsv"
     if not args.ref_only:
-        out.update(_run_ours_phased(path, 10_000, out_tsv=ours_out))
+        out.update(_run_ours_phased(path, 10_000, out_tsv=ours_out,
+                                    compat_mirror=not args.no_compat))
     if not args.ours_only:
         n_ref = int(args.ref_permute or 50)
         w_scan = run_ref(["-f", str(path), "-o", str(ref_out), "-v", "0"])
@@ -518,8 +571,11 @@ def cfg_mixed100k(args):
             ref_perm_s=round(w - w_scan, 2), ref_point_rounds=pr,
             ref_point_rounds_per_s=round(pr / max(w - w_scan, 1e-9), 2),
         )
-    if ours_out.exists() and ref_out.exists():
-        out.update(compare_parity(ours_out, ref_out))
+    if _both_nonempty(ours_out, ref_out) and not args.ref_only:
+        out["parity_compat_mode"] = (
+            "default" if args.no_compat else "compat_mirror_unfolded"
+        )
+        out.update(compare_parity(ours_out, ref_out, perm_cols=True))
     merge_results("mixed100k", out)
 
 
@@ -551,7 +607,7 @@ def genome1m_neutral_parity(run_ours=True, run_ref_side=True):
             ["-f", str(path), "-o", str(ref_out),
              "--force-neutral-spectrum", "-v", "0"]
         ), 2)
-    if ours_out.exists() and ref_out.exists():
+    if _both_nonempty(ours_out, ref_out):
         out.update({
             "neutral_" + k: v
             for k, v in compare_parity(ours_out, ref_out).items()
@@ -577,8 +633,8 @@ def cfg_genome1m(args):
             ref_perm_s=round(w - w_scan, 2), ref_point_rounds=pr,
             ref_point_rounds_per_s=round(pr / max(w - w_scan, 1e-9), 2),
         )
-    if ours_out.exists() and ref_out.exists():
-        out.update(compare_parity(ours_out, ref_out))
+    if _both_nonempty(ours_out, ref_out) and not args.ref_only:
+        out.update(compare_parity(ours_out, ref_out, perm_cols=True))
     out.update(genome1m_neutral_parity(
         run_ours=not args.ref_only, run_ref_side=not args.ours_only
     ))
@@ -598,6 +654,11 @@ def main():
     ap.add_argument("--ref-permute", type=int, default=0,
                     help="permutation count for the reference side "
                     "(rate extrapolates; default per config)")
+    ap.add_argument("--no-compat", action="store_true",
+                    help="run ours with the documented-default background "
+                    "(not the reference's mirrored-unfolded accumulation); "
+                    "parity is expected to fail in this mode on "
+                    "unfolded-site configs")
     args = ap.parse_args()
     CONFIGS[args.config](args)
 

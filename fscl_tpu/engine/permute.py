@@ -272,6 +272,15 @@ class _ChrPermContext:
         )
 
 
+def _record_thresholds(result, pts, threshold):
+    """Store the observed permutation-statistic values on the result so the
+    tail projection (engine/pvalues.py) uses the SAME threshold the
+    exceedance counts compare against."""
+    if getattr(result, "stat_threshold", None) is None:
+        result.stat_threshold = np.full(result.n_points, np.nan)
+    result.stat_threshold[pts] = threshold[pts]
+
+
 def _apply_round_updates(result, active, threshold, rng, cfg, act, null_max,
                          rounds_done, R):
     """Exceedance counting + probabilistic pruning for one round's results.
@@ -390,6 +399,7 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 eval_range=ctx.eval_range, n_pts=n_pts_pad, J=J,
             )
             threshold[grp] = np.asarray(obs)[: len(grp)]
+    _record_thresholds(result, np.arange(K), threshold)
 
     rounds_done = 0
     ckpt = None
@@ -1081,19 +1091,22 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         return key
 
     def _warm_sigma(n_rep):
-        from ..ops.permute import _group_first_positions, _replicates
+        from ..ops.permute import (
+            _group_first_positions, _replicates, effective_block_width,
+            n_blocks_for,
+        )
 
         key = ("sigma", n_rep)
 
         def fn():
             g0, span = _group_first_positions(gpos)
-            n_blocks = max(int(span // width_bp) + 2, 1) + 1
             _replicates.lower(
                 _sds(key0.shape, key0.dtype),
                 _sds((), jnp.uint32),
                 _sds(g0.shape, g0.dtype),
-                n_blocks=n_blocks, n_replicates=int(n_rep),
-                width=float(width_bp),
+                n_blocks=n_blocks_for(span, width_bp),
+                n_replicates=int(n_rep),
+                width=effective_block_width(span, width_bp),
             ).compile()
 
         warm.submit(key, fn)
@@ -1209,6 +1222,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         off = 0
         for st, _ in th_pending:
             threshold[st.pts] = obs_cat[off : off + len(st.pts)]
+            _record_thresholds(result, st.pts, threshold)
             off += len(st.pts)
     logmsg(
         MSG_DEBUG, "hist permutation setup: %.1fs (%d stack groups)",

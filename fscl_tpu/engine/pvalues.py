@@ -6,11 +6,21 @@ p = (permute_p - 1) / (permute_n - 1), or 1 / permute_n when permute_p < 2.
 The reference README (README.md:9-13) additionally describes projecting the
 tail by estimating the noncentrality of the chi-square distribution of the
 CLR — described but NOT implemented in the C code (SURVEY.md section 7).  We
-implement it: the saved null max-CLRs per scan point are a mixture of a point
-mass near zero (no sweep-like fluctuation anywhere in the interval) and a
-positive bulk; we fit a scaled chi-square k * chi2_df to the positive part by
-moment matching and project p = P(positive) * P(k chi2_df >= obs).  This
-gives usable p-values far beyond 1/n_permute resolution.
+implement it in the ANCHORED tail-ratio form (chi2_tail_projection): where
+the null reservoir resolves the p-value, the projection is the empirical
+rank estimate; beyond resolution it extrapolates from the anchor (the
+anchor_rank-th largest null) by the conditional tail ratio
+sf(obs)/sf(anchor) of a scaled chi-square whose (k, df) are fitted to the
+positive nulls by upper-quantile matching.  Only the fitted SHAPE enters —
+anchor-point miscalibration cancels — and when the reservoir is too small
+to fit a shape at all, the projection floors at the anchor instead of
+extrapolating through a placeholder.  This gives usable p-values far
+beyond 1/n_permute resolution.
+
+The observed value entering the projection must be the PERMUTATION
+statistic's value on the observed data (ScanResult.stat_threshold — the
+threshold the exceedance counts used), not the reported dense-scan CLR:
+the two differ by the statistic's decimation/interpolation offset.
 """
 
 from __future__ import annotations
@@ -39,19 +49,21 @@ def fit_scaled_chi2(null_clr, eps=1e-6):
     projection extrapolates from (a plain moment fit is dominated by the
     bulk and was ~2x off in log10(p) at genome scale — round-2
     calibration measurement, BASELINE.md).  Falls back to the moment fit
-    when the reservoir is too small or degenerate for quantiles.
+    when the reservoir is too small or degenerate for quantiles, and to
+    (frac, None, None) when even the moment fit is impossible — callers
+    must not extrapolate a tail from that.
     """
     x = np.asarray(null_clr, dtype=np.float64)
     x = x[np.isfinite(x)]
     if len(x) == 0:
-        return 0.0, 1.0, 1.0
+        return 0.0, None, None
     pos = x[x > eps]
     frac = len(pos) / len(x)
     if len(pos) < 10:
-        return frac, 1.0, 1.0
+        return frac, None, None
     m, v = pos.mean(), pos.var()
     if m <= 0 or v <= 0:
-        return frac, 1.0, 1.0
+        return frac, None, None
     k = v / (2.0 * m)  # mean = k df, var = 2 k^2 df
     df = m / k
     q1, q2 = np.quantile(pos, [0.75, 0.95])
@@ -110,6 +122,10 @@ def chi2_tail_projection(obs_clr, null_clr, eps=1e-6, anchor_rank=10):
     r = min(anchor_rank, int(round(frac * n))) or 1
     x0 = np.sort(x)[-r]  # r-th largest null = the anchor
     p_anchor = (r + 1.0) / (n + 1.0)
+    if k is None:
+        # too few positive nulls to fit a tail shape: floor at the anchor
+        # rather than extrapolate decades below it through a placeholder
+        return float(p_anchor)
     sf0 = stats.chi2.sf(max(x0, eps) / k, df)
     if sf0 <= 0:
         return float(p_anchor)  # anchor already past fp tail resolution
@@ -118,10 +134,20 @@ def chi2_tail_projection(obs_clr, null_clr, eps=1e-6, anchor_rank=10):
 
 
 def projected_pvalues(result):
-    """Vector of projected p-values (NaN where no null reservoir exists)."""
+    """Vector of projected p-values (NaN where no null reservoir exists).
+
+    Uses the observed permutation-statistic value (stat_threshold) where
+    the engine recorded one — the same threshold the exceedance counting
+    compared the nulls against — falling back to the reported CLR for
+    results that never ran a permutation phase.
+    """
     out = np.full(result.n_points, np.nan)
+    thr = getattr(result, "stat_threshold", None)
     for i in range(result.n_points):
         res = result.null_clr[i]
         if res:
-            out[i] = chi2_tail_projection(result.clr[i], res)
+            obs = result.clr[i]
+            if thr is not None and np.isfinite(thr[i]):
+                obs = thr[i]
+            out[i] = chi2_tail_projection(obs, res)
     return out

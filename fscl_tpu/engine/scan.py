@@ -93,6 +93,13 @@ class ScanResult:
     permute_p: np.ndarray  # [K] i64
     permute_finished: np.ndarray  # [K] bool
     null_clr: list  # per point: list/array of saved null CLRs
+    # observed value of the PERMUTATION statistic (the fixed-grid
+    # functional, engine/permute.py) — the threshold the exceedance counts
+    # compare against.  Tail projections must use this, not the reported
+    # dense-scan `clr`: the two differ by the statistic's interpolation/
+    # decimation offset, and projecting the exact CLR against nulls of the
+    # decimated functional miscalibrates the tail (round-2 genome1m pcal).
+    stat_threshold: np.ndarray = None  # [K] f64, NaN until permuted
 
     @property
     def n_points(self) -> int:
@@ -596,4 +603,5 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         permute_p=np.zeros(K, dtype=np.int64),
         permute_finished=np.zeros(K, dtype=bool),
         null_clr=[None] * K,
+        stat_threshold=np.full(K, np.nan),
     )

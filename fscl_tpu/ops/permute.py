@@ -144,6 +144,33 @@ def _group_first_positions(gpos):
     return dev, span
 
 
+MIN_BLOCKS = 6  # block-count floor for short genomes: with fewer blocks
+# the uniform block shuffle degenerates (2 blocks -> identity with
+# probability 1/2, which inflates every p-value by ~0.5).  The reference
+# has no such degeneracy because its source runs clamp at chromosome/array
+# ends (scan-chromosome.c:355-361: the span-extension loop stops at a
+# chromosome change), so sub-width chromosomes still mix; capping the
+# effective width at span/MIN_BLOCKS reproduces that behavior while
+# leaving any genome longer than MIN_BLOCKS * width untouched.
+
+
+def effective_block_width(span, width_bp):
+    """Block span floor, capped so short genomes keep >= MIN_BLOCKS blocks."""
+    if span > 0:
+        return max(min(float(width_bp), span / MIN_BLOCKS), 1.0)
+    return float(width_bp)
+
+
+def n_blocks_for(span, width_bp):
+    """Shuffled-block count (+ pinned tail) the sigma program compiles for.
+
+    Shared by block_permutation_groups and the shape-warming predictor
+    (engine/permute.py _warm_sigma) so warmed programs match dispatches.
+    """
+    w = effective_block_width(span, width_bp)
+    return max(int(span // w) + 2, 1) + 1
+
+
 def block_permutation_groups(key, gpos, width_bp, n_replicates, start=0):
     """GROUP-level gather indices sigma8 [R, G], G = ceil(W / PERM_GROUP).
 
@@ -154,18 +181,18 @@ def block_permutation_groups(key, gpos, width_bp, n_replicates, start=0):
     place, so the expansion never exceeds the real site count.
 
     gpos: [W] genome-wide monotone bp coordinates (chromosome offsets
-    added).  width_bp: minimum block span (scan_width_mb * 1e6).  start:
+    added).  width_bp: minimum block span (scan_width_mb * 1e6), capped at
+    span/MIN_BLOCKS for short genomes (see effective_block_width).  start:
     absolute index of the first replicate; row r is a pure function of
     (key, start + r), so any chunking of the replicate stream reproduces
     it.
     """
     g0, span = _group_first_positions(gpos)
-    # +1 for the dedicated pinned tail block
-    n_blocks = max(int(span // width_bp) + 2, 1) + 1
     return _replicates(
         key, jnp.uint32(start), g0,
-        n_blocks=n_blocks, n_replicates=int(n_replicates),
-        width=float(width_bp),
+        n_blocks=n_blocks_for(span, width_bp),
+        n_replicates=int(n_replicates),
+        width=effective_block_width(span, width_bp),
     )
 
 

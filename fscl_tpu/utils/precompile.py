@@ -94,13 +94,15 @@ class Precompiler:
 
     def _run(self, fn):
         t0 = time.monotonic()
+        ok = True
         try:
             fn()
-            self.stats["warm_compiles"] += 1
         except Exception:  # foreground path will compile synchronously
-            self.stats["warm_errors"] += 1
-        finally:
-            self.stats["warm_s"] += time.monotonic() - t0
+            ok = False
+        dt = time.monotonic() - t0
+        with self._lock:  # worker threads share the counters
+            self.stats["warm_compiles" if ok else "warm_errors"] += 1
+            self.stats["warm_s"] += dt
 
     def known(self, key):
         with self._lock:
@@ -122,5 +124,19 @@ class Precompiler:
             except Exception:
                 pass
 
-    def close(self):
+    def close(self, join_timeout=30.0):
+        """Cancel queued warms and give in-flight compiles a bounded join —
+        an abandoned tunnel compile otherwise keeps running and delays
+        interpreter exit indefinitely."""
         self._pool.shutdown(wait=False, cancel_futures=True)
+        deadline = time.monotonic() + join_timeout
+        with self._lock:
+            futs = list(self._futs.values())
+        for f in futs:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                f.result(timeout=remaining)
+            except Exception:
+                pass

@@ -102,6 +102,9 @@ def test_projection_calibrated_on_engine_nulldist():
     )
     sel = result.permute_p >= 20
     assert sel.sum() >= 3  # neutral intervals hit the pruning threshold
+    # the engine records the observed statistic thresholds so the tail
+    # projection compares obs and nulls under the SAME functional
+    assert np.isfinite(result.stat_threshold).all()
     emp = empirical_pvalues(result.permute_p, result.permute_n)[sel]
     proj = projected_pvalues(result)[sel]
     ok = np.isfinite(proj) & (proj > 0)
