@@ -60,6 +60,7 @@ class SNPData:
         self.null_logl = tables.null_logl(self.depth_p, self.folded, self.obs_freq)
         # row/null changed: drop memoized hist table packs (engine/scan.py)
         self._hist_tables_cache = {}
+        self._hist_dev_cache = {}
 
     def genome_pos(self) -> np.ndarray:
         """Monotone genome-wide coordinate (chromosome offsets accumulated).

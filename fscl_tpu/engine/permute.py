@@ -44,7 +44,6 @@ from ..ops.histclr import (
     build_prefix_sums_seg,
     hist_clr_reps_ps,
     hist_supported,
-    make_hist_device_arrays,
     make_row_onehot_group_table,
     make_row_weight_group_table,
 )
@@ -946,11 +945,11 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         w_seg_p = -(-(cl.n_snps + PERM_GROUP + 1) // 4096) * 4096
         sl = slice(cl.start_index, cl.start_index + cl.n_snps)
         pos_np = np.asarray(data.pos[sl])
+        from .scan import get_hist_device_arrays
+
         by_len.setdefault(w_seg_p, []).append(
             (c, cl.start_index, cl.n_snps, pos_np,
-             make_hist_device_arrays(
-                 ht, pos_np, qbits=getattr(data, "_hist_qbits", None)
-             ))
+             get_hist_device_arrays(data, ht, pos_np, cl.start_index))
         )
     stacks = [
         _StackGroup(ht, w, segs, scan_cfg.eval_range, Jf)
@@ -1483,15 +1482,75 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
             ("stack", w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices), fn
         )
 
+    # geometry-build programs (_device_points): the permutation setup and
+    # every compaction rung call these foreground, and each (chromosome
+    # shape class, candidate-pad class) pair is a distinct XLA program
+    # whose tunnel compile costs tens of seconds — the round-2 first-run
+    # log's 22-43 s mid-run chunks were exactly these (VERDICT r2 item 4)
+    from ..ops.histclr import _SLAB_K, _device_points
+
+    qb = getattr(data, "_hist_qbits", None)
+
+    def _warm_points(w_pad, nb_pad, n_cp):
+        C = n_cp * Jf
+        key = ("points-pre", w_pad, nb_pad, qb, C)
+
+        def fn():
+            i32 = jnp.int32
+            ci = _sds((C,), i32)
+            _device_points.lower(
+                _sds((w_pad,), i32),
+                _sds((w_pad + 1, 2), i32),
+                _sds((ht.n_cells,), i32),
+                _sds((nb_pad, 1 + _SLAB_K), i32),
+                ci, ci, ci, ci,
+                n_cells=ht.n_cells, qbits=qb,
+            ).compile()
+
+        warm.submit(key, fn)
+
+    def _warm_sigma_pre(n_rep):
+        from ..ops.permute import (
+            _replicates, effective_block_width, n_blocks_for,
+        )
+
+        gpos = data.genome_pos()
+        span = int(gpos[-1]) - int(gpos[0]) if len(gpos) else 0
+        G = -(-len(gpos) // PERM_GROUP) if len(gpos) else 1
+        width_bp = cfg.scan_width_mb * 1e6
+
+        def fn():
+            _replicates.lower(
+                _sds((), jax.random.key(0).dtype),
+                _sds((), jnp.uint32),
+                _sds((G,), jnp.int32),
+                n_blocks=n_blocks_for(span, width_bp),
+                n_replicates=int(n_rep),
+                width=effective_block_width(span, width_bp),
+            ).compile()
+
+        warm.submit(("sigma-pre", n_rep), fn)
+
     K = sum(n for _, segs in by_len.items() for _, n in segs)
     b0 = _boost_levels(K, n_groups, cfg)[0]
+    R_gen = -(-cfg.chunk_replicates // HIST_REP_SUB) * HIST_REP_SUB
     R0 = min(cfg.chunk_replicates * b0, max(cfg.n_permute, 1))
+    _warm_sigma_pre(R_gen * b0 + 2 * HIST_REP_SUB)
     for w_seg_p, segs in sorted(by_len.items()):
         S_pad = _ladder_pad(len(segs))
         n_pts = sum(n for _, n in segs)
         n_pts_pad = _pad_pow2(max(n_pts, 1), minimum=4)
         sub_rep = _sub_rep_for(ht, S_pad, w_seg_p)
         _warm_stack(w_seg_p, S_pad, n_pts_pad, 1, 1)  # threshold pass
+        geo = set()
+        for cl, _ in segs:
+            n = cl.n_snps
+            pos_last = int(data.pos[cl.start_index + n - 1])
+            w_pad = max(-(-n // 4096) * 4096, 4096)
+            nb = (pos_last >> qb) + 2 if qb is not None else 0
+            nb_pad = max(-(-nb // 4096) * 4096, 4096)
+            geo.add((w_pad, nb_pad))
+        n_cp = _pad_pow2(max((n for _, n in segs), default=1), minimum=4)
         p = n_pts_pad
         for rung in range(5):
             for d in set(_plan_ds(
@@ -1500,9 +1559,13 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
                                         sub_rep)),
             )):
                 _warm_stack(w_seg_p, S_pad, p, sub_rep, d)
+            if qb is not None:
+                for w_pad, nb_pad in geo:
+                    _warm_points(w_pad, nb_pad, n_cp)
             if p == 4:
                 break
             p = max(p // 2, 4)
+            n_cp = max(n_cp // 2, 4)
     return warm
 
 
