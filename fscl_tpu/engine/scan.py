@@ -60,8 +60,8 @@ class ScanConfig:
     # 1 kb cell — the genome1m neutral parity showed deficits to 4.9 CLR
     # at 1.5% of intervals.  branch_margin must be >= hist_tie_margin so
     # every potential tie cell is actually probed at bp_resl.
-    branch_k: int = 4
-    branch_margin: float = 3.0
+    branch_k: int = 6
+    branch_margin: float = 4.0
     # cap on (candidates x padded sites) per device dispatch: long single
     # dispatches (> ~20s) can trip TPU-runtime watchdogs, and every distinct
     # shape costs a (minutes-long, tunnel-remote) compile.  A small cap keeps
@@ -73,13 +73,30 @@ class ScanConfig:
     # reported CLR/alpha are unchanged up to near-tie argmax selection
     use_hist: bool = True
     hist_alphas: int = 128
-    # refine near-ties re-evaluate exactly when within this CLR margin of
-    # the interval winner (the hist selection stages carry run-mean +
-    # decimation interpolation error, ~1 CLR at decimate 8; 1.5 covers the
-    # empirical error with margin).  Most intervals have clear winners, so
-    # the exact re-eval stays a ~2 candidates/interval stage.
-    hist_tie_margin: float = 1.5
-    hist_tie_cap: int = 8  # max exact re-eval candidates per interval
+    # probed positions within this margin of the selection winner enter
+    # the decimate-1 tie-resolution stage (the dec-8 selection values
+    # carry run-mean + decimation error that is usually ~1 CLR but tails
+    # to several units when per-cell errors correlate across a window)
+    hist_tie_margin: float = 2.5
+    hist_tie_cap: int = 12  # tie-resolution candidates per interval
+    # tie resolution: re-rank the tie pool on the UNdecimated lattice
+    # (run-mean error only, ~8x smaller cells), then the exact kernel
+    # evaluates the survivors within exact_margin of the dec-1 winner
+    tie_decimate: int = 1
+    exact_margin: float = 0.5
+    exact_cap: int = 2
+    # refine probes +-refine_halfwidth steps per round; the pitch shrinks
+    # 8x per round, so halfwidth 4 exactly covers the previous pitch
+    # (+-pitch/2) with no gap while halving the refine stage's work
+    refine_halfwidth: int = 4  # exact re-eval candidates per interval
+    # SNP-anchored dense probes: at large alpha the CLR surface has
+    # sub-kb-wide maxima pinned to individual sites (the reference's
+    # bisection lands on them, scan-chromosome.c:66-71 bumps off exact
+    # collisions); a bp-grid of any practical pitch misses them, so every
+    # site whose table row can beat its null by more than
+    # snp_probe_min_gain anywhere on the alpha grid is probed directly
+    snp_probes: bool = True
+    snp_probe_min_gain: float = 0.25
     hist_decimate: int = 8  # lattice decimation for the selection stages
     # (ops/histclr.py build_hist_tables), capped so the decimated step
     # stays under ~0.1 log_ad units; winners are re-evaluated exactly.
@@ -133,6 +150,13 @@ def _pad_sites(n, quantum=4096):
     return max(-(-n // quantum) * quantum, quantum)
 
 
+def _pad_cand(n):
+    """Exact-kernel candidate padding: pow2 up to 512 (few classes for
+    small calls), then 256-multiples (pow2 wasted up to 40% of the
+    per-site window work on ~700-1500-candidate exact stages)."""
+    return _pad_pow2(n, 256) if n <= 512 else -(-n // 256) * 256
+
+
 def chromosome_candidates(cl, cfg):
     """Fine-grid candidate positions for one chromosome.
 
@@ -180,7 +204,7 @@ class _ChromosomeBlock:
         self.lt = lattice_tables
         self.mesh = mesh
 
-    def eval_candidates_device(self, cand_flat, cfg):
+    def eval_candidates_device(self, cand_flat, cfg, seed_la=None):
         """Enqueue the exact three-stage evaluation; returns a [2, P_pad]
         DEVICE array (clr, lalpha) when it fits in one dispatch, else None
         (callers fall back to the splitting host path).  Lets scan_genome
@@ -189,10 +213,10 @@ class _ChromosomeBlock:
         max_p = max(cfg.dispatch_cap // max(self.w_pad, 1), cfg.chunk)
         if P_total > max_p:
             return None
-        clr, la, *_ = self._dispatch(cand_flat, cfg)
+        clr, la, *_ = self._dispatch(cand_flat, cfg, seed_la=seed_la)
         return jnp.stack([clr, la])
 
-    def _dispatch(self, cand_flat, cfg, row=None, null=None):
+    def _dispatch(self, cand_flat, cfg, row=None, null=None, seed_la=None):
         """One padded two_stage_lattice_max dispatch (device outputs).
 
         Power-of-2 candidate buckets (>= 256) bound the compiled-shape
@@ -202,7 +226,7 @@ class _ChromosomeBlock:
         needed (0.8s -> <0.1s on the 20k-site bench)."""
         ns, lo, hi = candidate_windows(self.pos_np, cand_flat, cfg.eval_range)
         P = len(cand_flat)
-        p_pad = _pad_pow2(P, minimum=256)
+        p_pad = _pad_cand(P)
         if self.mesh is not None:
             p_pad = -(-p_pad // self.mesh.size) * self.mesh.size
         cand_d = np.zeros(p_pad, dtype=np.int32)
@@ -213,7 +237,9 @@ class _ChromosomeBlock:
         hi_d[:P] = hi
         if self.mesh is not None:
             # candidates sharded over every mesh device — the TPU form of
-            # the reference's pthread scan work queue
+            # the reference's pthread scan work queue (the seed is unused
+            # here; the sharded program runs the full three-stage search,
+            # which covers any seed's bracket)
             from ..parallel.shard import sharded_scan_eval
 
             clr, la = sharded_scan_eval(
@@ -222,6 +248,26 @@ class _ChromosomeBlock:
                 self.pos,
                 self.null if null is None else null,
                 jnp.asarray(cand_d), jnp.asarray(lo_d), jnp.asarray(hi_d),
+                chunk=cfg.chunk,
+            )
+        elif seed_la is not None:
+            from .. import LOG_AD_MIN
+            from ..ops.lattice import lattice_step, seeded_lattice_max
+
+            step = lattice_step(self.lt.grid_points)
+            m_seed = np.zeros(p_pad, dtype=np.int32)
+            m_seed[:P] = np.round(
+                (np.asarray(seed_la, dtype=np.float64) - LOG_AD_MIN) / step
+            ).astype(np.int32)
+            clr, la = seeded_lattice_max(
+                self.lt,
+                self.row if row is None else row,
+                self.pos,
+                self.null if null is None else null,
+                jnp.asarray(cand_d),
+                jnp.asarray(lo_d),
+                jnp.asarray(hi_d),
+                jnp.asarray(m_seed),
                 chunk=cfg.chunk,
             )
         else:
@@ -238,7 +284,7 @@ class _ChromosomeBlock:
         return clr, la, ns, lo, hi
 
     def eval_candidates(self, cand_flat, cfg, grid_points=None, row=None,
-                        null=None):
+                        null=None, seed_la=None):
         """Three-stage alpha max CLR for a flat candidate array (host I/O).
 
         Splits into multiple dispatches when P x W exceeds cfg.dispatch_cap
@@ -249,7 +295,10 @@ class _ChromosomeBlock:
         if P_total > max_p:
             outs = [
                 self.eval_candidates(
-                    cand_flat[i : i + max_p], cfg, row=row, null=null
+                    cand_flat[i : i + max_p], cfg, row=row, null=null,
+                    seed_la=(
+                        None if seed_la is None else seed_la[i : i + max_p]
+                    ),
                 )
                 for i in range(0, P_total, max_p)
             ]
@@ -257,7 +306,7 @@ class _ChromosomeBlock:
                 np.concatenate([o[j] for o in outs]) for j in range(5)
             )
         clr, la, ns, lo, hi = self._dispatch(cand_flat, cfg, row=row,
-                                             null=null)
+                                             null=null, seed_la=seed_la)
         P = len(cand_flat)
         return np.asarray(clr)[:P], np.asarray(la)[:P], ns, lo, hi
 
@@ -285,9 +334,15 @@ class _HistScanContext:
         and drain them with ONE host readback (the remote link pays per
         round trip — per-chromosome syncs serialize device and host)."""
         ht = self.ht
+        # candidate-count quantization: every distinct padded size is its
+        # own XLA program for the geometry build AND the CLR kernel, and
+        # the dense/refine flats vary per chromosome (SNP-probe counts,
+        # kept-branch counts are data-dependent) — a coarse quantum for
+        # large flats caps the compiled-shape count at ~20% padding waste
+        pad = 2048 if len(cand_flat) <= 16384 else 8192
         hp = build_hist_points(
             ht, self.pos_np, cand_flat, self.eval_range,
-            cand_pad=2048, device_arrays=self.dev,
+            cand_pad=pad, device_arrays=self.dev,
         )
         if self.mesh is not None:
             from ..parallel.shard import sharded_hist_eval
@@ -417,6 +472,8 @@ def _tie_candidates(st, cfg):
         pools.append((bi, st.bpos[bi, bj], st.bclr[bi, bj]))
     if st.probe_owner is not None:
         pools.append((st.probe_owner, st.probe_pos, st.probe_clr))
+    if st.snp_clr is not None:
+        pools.append((st.snp_owner, st.snp_cand, st.snp_clr))
     owner = np.concatenate([p[0] for p in pools])
     pos = np.concatenate([p[1] for p in pools])
     clr = np.concatenate([p[2] for p in pools])
@@ -435,6 +492,19 @@ def _tie_candidates(st, cfg):
     rank = np.arange(len(owner)) - np.searchsorted(owner, owner)
     keep = rank < cfg.hist_tie_cap
     return pos[keep], owner[keep]
+
+
+def _exact_select(owner, clr1, margin, cap):
+    """Per owner: keep the winner plus candidates within ``margin`` of it,
+    capped at ``cap`` by rank; boolean mask over the flat pool."""
+    o = np.lexsort((-clr1, owner))
+    os_, cs = owner[o], clr1[o]
+    start = np.searchsorted(os_, os_)
+    rank = np.arange(len(o)) - start
+    k = (cs >= cs[start] - margin) & (rank < cap)
+    keep = np.zeros(len(owner), dtype=bool)
+    keep[o[k]] = True
+    return keep
 
 
 def _drain(pending):
@@ -482,6 +552,9 @@ class _ChrScanState:
         self.flat_cand = self.flat_bi = self.flat_bj = None
         # final-round probes for tie collection: (interval, pos, clr)
         self.probe_owner = self.probe_pos = self.probe_clr = None
+        # SNP-anchored dense probes (set by scan_genome when enabled)
+        self.snp_cand = self.snp_owner = None
+        self.snp_clr = self.snp_la = None
         self.cand_x = self.owner_x = None
 
 
@@ -492,6 +565,11 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
     exact re-eval) together: a stage enqueues every chromosome's device
     dispatches, then drains them with one host readback — the device
     pipelines across chromosomes instead of sync-stepping each one."""
+    import time as _time
+
+    from ..utils import MSG_DEBUG1, logmsg
+
+    _t0 = _time.monotonic()
     lattice = lattice or LatticeTables(tables.table, tables.grid_points)
     G = tables.grid_points
 
@@ -559,13 +637,43 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
             for st, f in zip(states, flats)
         ]
 
-    # dense fine-grid stage
-    for st, (clr, la) in zip(states, eval_stage(
-            lambda st: st.cand.reshape(-1))):
+    # SNP-anchored probe set per chromosome (hist path): the gain filter
+    # keeps sites whose table row can beat their null anywhere on the
+    # alpha grid — only those can host the sub-kb spike maxima the bp
+    # grid misses (the rest are dominated by a neighboring grid probe)
+    if hist_ht is not None and cfg.snp_probes:
+        row_all = np.asarray(data.row)
+        null_row = np.zeros(tables.table.shape[0])
+        null_row[row_all] = np.asarray(data.null_logl)
+        row_gain = tables.table.max(axis=1) - null_row
+        for st in states:
+            sl = slice(st.cl.start_index, st.cl.start_index + st.cl.n_snps)
+            g = row_gain[row_all[sl]]
+            keep = g > cfg.snp_probe_min_gain
+            pos = st.blk.pos_np[keep].astype(np.int64)
+            owner = np.searchsorted(st.istart, pos, side="right") - 1
+            ok = (owner >= 0) & (pos <= st.iend[np.clip(owner, 0, None)])
+            st.snp_cand = pos[ok]
+            st.snp_owner = owner[ok]
+
+    logmsg(MSG_DEBUG1, "scan setup: %.2fs", _time.monotonic() - _t0)
+    _t0 = _time.monotonic()
+
+    def _dense_cand(st):
+        flat = st.cand.reshape(-1)
+        if st.snp_cand is not None:
+            flat = np.concatenate([flat, st.snp_cand])
+        return flat
+
+    # dense fine-grid stage (+ SNP-anchored probes in the same dispatch)
+    for st, (clr_all, la_all) in zip(states, eval_stage(_dense_cand)):
+        ng = st.n_int * st.J
+        clr_all = np.asarray(clr_all)
+        la_all = np.asarray(la_all)
         clr = np.where(
-            st.valid.reshape(-1), clr, -np.inf
+            st.valid.reshape(-1), clr_all[:ng], -np.inf
         ).reshape(st.n_int, st.J)
-        la = la.reshape(st.n_int, st.J)
+        la = la_all[:ng].reshape(st.n_int, st.J)
         jbest = np.argmax(clr, axis=1)
         st.best_pos = st.cand[st.r, jbest]
         st.best_clr = clr[st.r, jbest]
@@ -579,8 +687,33 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         st.bpos = st.cand[st.r[:, None], order]
         st.bclr = clr[st.r[:, None], order]
         st.bla = la[st.r[:, None], order]
+        if st.snp_cand is not None:
+            st.snp_clr = clr_all[ng : ng + len(st.snp_cand)]
+            st.snp_la = la_all[ng : ng + len(st.snp_cand)]
+            # top-2 SNP probes per interval join the branch pool (their
+            # spikes are narrower than the refine cover, so they also get
+            # the +-bp_resl zoom the reference's bisection applies)
+            o = np.lexsort((-st.snp_clr, st.snp_owner))
+            so, sp = st.snp_owner[o], st.snp_cand[o]
+            sc, sl = st.snp_clr[o], st.snp_la[o]
+            rank = np.arange(len(so)) - np.searchsorted(so, so)
+            ext_pos = np.tile(st.best_pos[:, None], (1, 2))
+            ext_clr = np.full((st.n_int, 2), -np.inf)
+            ext_la = np.zeros((st.n_int, 2))
+            for rk in (0, 1):
+                m = rank == rk
+                ext_pos[so[m], rk] = sp[m]
+                ext_clr[so[m], rk] = sc[m]
+                ext_la[so[m], rk] = sl[m]
+            st.bpos = np.concatenate([st.bpos, ext_pos], axis=1)
+            st.bclr = np.concatenate([st.bclr, ext_clr], axis=1)
+            st.bla = np.concatenate([st.bla, ext_la], axis=1)
+            st.best_clr = np.maximum(st.best_clr, st.bclr.max(axis=1))
         st.bkeep = st.bclr >= (st.best_clr - cfg.branch_margin)[:, None]
-        st.bkeep[:, -1] = True
+        st.bkeep[:, min(k, st.bkeep.shape[1]) - 1] = True
+
+    logmsg(MSG_DEBUG1, "scan dense stage: %.2fs", _time.monotonic() - _t0)
+    _t0 = _time.monotonic()
 
     if cfg.refine:
         # iterative zoom to bp_resl: re-center each kept branch on its
@@ -591,7 +724,7 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         # intervals contribute one branch, so the stage costs ~1.2x the
         # single-branch zoom, not branch_k x).
         pitch = cfg.small_grid_sp
-        offs_w = 8
+        offs_w = cfg.refine_halfwidth
         while pitch > cfg.bp_resl:
             pitch = max(pitch // 8, cfg.bp_resl)
             final_round = pitch <= cfg.bp_resl
@@ -640,18 +773,60 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
             st.best_clr = st.bclr[st.r, bb]
             st.best_la = st.bla[st.r, bb]
 
+    logmsg(MSG_DEBUG1, "scan refine stage: %.2fs", _time.monotonic() - _t0)
+    _t0 = _time.monotonic()
+
     if hist_ht is not None:
-        # the hist stages are selection-grade; report exact CLR/alpha from
-        # the lattice kernel at the winner, plus every probed position
-        # within the hist error margin of the winner (the per-site exact
-        # kernel's cost scales with candidates x window width, so skipping
-        # clear losers matters on large chromosomes)
-        pend, sync = [], {}
+        # tie pool: every probed position within hist_tie_margin of the
+        # selection winner (dense cells, SNP probes, refine probes)
         for st in states:
             st.cand_x, st.owner_x = _tie_candidates(st, cfg)
-            dev = st.blk.eval_candidates_device(st.cand_x, cfg)
+            st.seed_la = None
+
+        # tie RESOLUTION on the (nearly) undecimated lattice: run-mean
+        # error only (~8x smaller cells than the selection stages), so
+        # the re-ranked pool collapses to ~1 exact candidate per interval
+        # and supplies a per-candidate alpha seed for the exact kernel
+        ht1 = (
+            make_scan_hist_tables(
+                data, tables, cfg.hist_alphas, decimate=cfg.tie_decimate
+            )
+            if cfg.tie_decimate < cfg.hist_decimate else None
+        )
+        if ht1 is not None and ht1 is not hist_ht:
+            pend1 = []
+            for st in states:
+                c1 = _HistScanContext(ht1, data, st.cl, cfg, mesh=mesh)
+                pend1.append(c1.eval_max_device(st.cand_x))
+            for st, (c1, l1) in zip(states, _drain(pend1)):
+                P = len(st.cand_x)
+                c1 = np.asarray(c1)[:P]
+                l1 = np.asarray(l1)[:P]
+                keep = _exact_select(
+                    st.owner_x, c1, cfg.exact_margin, cfg.exact_cap
+                )
+                st.cand_x = st.cand_x[keep]
+                st.owner_x = st.owner_x[keep]
+                st.seed_la = l1[keep]
+            logmsg(
+                MSG_DEBUG1, "scan tie-resolution stage: %.2fs",
+                _time.monotonic() - _t0,
+            )
+            _t0 = _time.monotonic()
+
+        # exact stage: report exact CLR/alpha from the per-site lattice
+        # kernel at the surviving candidates (alpha search seeded from
+        # the tie-resolution argmax where available — the coarse stage is
+        # redundant within the fine bracket of the seed)
+        pend, sync = [], {}
+        for st in states:
+            dev = st.blk.eval_candidates_device(
+                st.cand_x, cfg, seed_la=st.seed_la
+            )
             if dev is None:  # exceeds the dispatch cap; host-split path
-                sync[st.c] = st.blk.eval_candidates(st.cand_x, cfg, G)[:2]
+                sync[st.c] = st.blk.eval_candidates(
+                    st.cand_x, cfg, G, seed_la=st.seed_la
+                )[:2]
                 pend.append(jnp.zeros((2, 0), jnp.float32))
             else:
                 pend.append(dev)
@@ -667,6 +842,12 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
                 st.best_clr[st.owner_x[k]] = ex_clr[k]
                 st.best_la[st.owner_x[k]] = ex_la[k]
                 st.best_pos[st.owner_x[k]] = st.cand_x[k]
+
+        logmsg(
+            MSG_DEBUG1, "scan exact stage: %.2fs (%d candidates)",
+            _time.monotonic() - _t0,
+            sum(len(st.cand_x) for st in states),
+        )
 
     for st in states:
         ns, lo, hi = candidate_windows(

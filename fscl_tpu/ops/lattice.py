@@ -217,3 +217,52 @@ def two_stage_lattice_max(lt: LatticeTables, row, pos, null, cand, lo, hi, chunk
         grid_points=lt.grid_points, chunk=chunk,
         pack_ultra=lt.pack_ultra, m_ultra=lt.m_ultra_dev,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("grid_points", "chunk"))
+def _seeded_impl(
+    pack_fine, pack_ultra, m_fine, m_ultra, row, pos, null, cand, lo, hi,
+    m_seed, *, grid_points, chunk,
+):
+    G = grid_points
+    p_idx = jnp.arange(cand.shape[0])
+    m_best = jnp.clip(m_seed, 0, G - 1)
+    best = jnp.full(cand.shape[0], -jnp.inf, jnp.float32)
+
+    def refine(pack, m_rel, m_best, best):
+        clr_f = clr_lattice(
+            pack, row, pos, null, cand, lo, hi, m_best, m_rel,
+            grid_points=G, chunk=chunk, n_alpha=m_rel.shape[0],
+        )
+        i_f = jnp.argmax(clr_f, axis=1)
+        best_f = clr_f[p_idx, i_f]
+        use = best_f > best
+        return (
+            jnp.where(use, jnp.clip(m_best + m_rel[i_f], 0, G - 1), m_best),
+            jnp.where(use, best_f, best),
+        )
+
+    m_best, best = refine(pack_fine, m_fine, m_best, best)
+    m_best, best = refine(pack_ultra, m_ultra, m_best, best)
+    step = (LOG_AD_MAX - LOG_AD_MIN) / (G - 1)
+    la = LOG_AD_MIN + m_best.astype(jnp.float32) * step
+    return best, la
+
+
+def seeded_lattice_max(lt: LatticeTables, row, pos, null, cand, lo, hi,
+                       m_seed, chunk=8):
+    """Fine+ultra lattice alpha zoom seeded at per-candidate lattice offsets.
+
+    For candidates whose approximate argmax alpha is already known (the
+    scan's dec-1 tie-resolution stage provides it to ~the selection grid
+    pitch), the coarse alpha stage is redundant: the fine bracket covers
+    +-8 fine pitches (~2.6 log-alpha units) around the seed, then ultra
+    zooms to ~0.08.  One third less window-gather work than the
+    three-stage search, with identical results whenever the true argmax
+    lies within the fine bracket of the seed.
+    """
+    return _seeded_impl(
+        lt.pack_fine, lt.pack_ultra, lt.m_fine_dev, lt.m_ultra_dev,
+        row, pos, null, cand, lo, hi, m_seed,
+        grid_points=lt.grid_points, chunk=chunk,
+    )
