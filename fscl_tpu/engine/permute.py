@@ -1210,19 +1210,35 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         sub_save, st.sub_rep = st.sub_rep, 1
         th_pending.append((st, _stat_call(st, obs_sigma, 1)))
         st.sub_rep = sub_save
+    th_dev = None
+    th_stacks = []
     if th_pending:
-        # one concatenated device vector -> ONE host readback (the slow
-        # tunnel pays per round trip, not per byte, at these sizes)
-        obs_cat = np.asarray(
-            jnp.concatenate(
-                [o[0, : len(st.pts)] for st, o in th_pending]
-            )
+        # one concatenated device vector, read back in ONE round trip (the
+        # slow tunnel pays per trip, not per byte, at these sizes).  On the
+        # single-device path the readback is DEFERRED and fused into the
+        # first chunk's drain — the first chunk's dispatches don't depend
+        # on thresholds (exceedance counting is host-side after its
+        # readback), so the threshold pass overlaps the first chunk's
+        # compute and costs no extra trip.
+        th_dev = jnp.concatenate(
+            [o[0, : len(st.pts)] for st, o in th_pending]
         )
+        # snapshot the point order: a mid-loop geometry rebuild replaces
+        # st.pts, but the deferred threshold vector is laid out in the
+        # setup-time order
+        th_stacks = [(st, st.pts.copy()) for st, _ in th_pending]
+
+    def _drain_thresholds(host_vals):
+        nonlocal th_dev
         off = 0
-        for st, _ in th_pending:
-            threshold[st.pts] = obs_cat[off : off + len(st.pts)]
-            _record_thresholds(result, st.pts, threshold)
-            off += len(st.pts)
+        for _, pts in th_stacks:
+            threshold[pts] = host_vals[off : off + len(pts)]
+            _record_thresholds(result, pts, threshold)
+            off += len(pts)
+        th_dev = None
+
+    if th_dev is not None and mesh is not None:
+        _drain_thresholds(np.asarray(th_dev))
     logmsg(
         MSG_DEBUG, "hist permutation setup: %.1fs (%d stack groups)",
         _time.monotonic() - _t0, len(stacks),
@@ -1335,10 +1351,20 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                         ],
                         axis=1,
                     )
-                    nm_cat = (
-                        gather_to_host(cat) if mesh is not None
-                        else np.asarray(cat)
-                    )
+                    if th_dev is not None and mesh is None:
+                        # fused first-chunk drain: thresholds + chunk stats
+                        # in one flat readback
+                        flat = np.asarray(
+                            jnp.concatenate([th_dev, cat.reshape(-1)])
+                        )
+                        T = len(flat) - cat.shape[0] * cat.shape[1]
+                        _drain_thresholds(flat[:T])
+                        nm_cat = flat[T:].reshape(cat.shape)
+                    else:
+                        nm_cat = (
+                            gather_to_host(cat) if mesh is not None
+                            else np.asarray(cat)
+                        )
                     off = 0
                     for st, _ in pending:
                         _apply_round_updates(
@@ -1382,6 +1408,10 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     finally:
         last_stats.update(warm.stats)
         warm.close()
+    if th_dev is not None:
+        # loop never drained (everything finished at entry, e.g. a resumed
+        # checkpoint): read the thresholds back directly
+        _drain_thresholds(np.asarray(th_dev))
     if ckpt is not None:
         ckpt.close()
     logmsg(
