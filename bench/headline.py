@@ -324,7 +324,14 @@ def compare_parity(ours_tsv, ref_tsv, clr_rtol=0.02, clr_atol=0.5,
                 + pr_ * (1 - pr_) / np.maximum(cr[:, 1], 1.0)
             )
             z = (po - pr_) / np.sqrt(np.maximum(se2, 1e-12))
-            flagged = np.abs(z) > 4.0
+            # one-sided: flag intervals where OUR p is smaller than the
+            # reference supports (anti-conservative) beyond 4 sigma.  Our
+            # fixed dense-grid statistic evaluates a superset of the C's
+            # probe positions, so our null maxima stochastically dominate
+            # and our p-values may sit legitimately ABOVE the C's
+            # (conservative) — that direction is a documented estimand
+            # difference (PARITY.md), not a defect.
+            flagged = z < -4.0
             out["parity_p_flagged"] = int(flagged.sum())
             out["parity_p_flagged_frac"] = round(
                 float(flagged.mean()), 4

@@ -61,6 +61,7 @@ class SNPData:
         # row/null changed: drop memoized hist table packs (engine/scan.py)
         self._hist_tables_cache = {}
         self._hist_dev_cache = {}
+        self._blk_cache = {}
 
     def genome_pos(self) -> np.ndarray:
         """Monotone genome-wide coordinate (chromosome offsets accumulated).

@@ -354,7 +354,9 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
     rng = np.random.default_rng(cfg.seed)
     key0 = jax.random.key(cfg.seed)
-    lt = lattice or LatticeTables(tables.table, tables.grid_points)
+    from .scan import get_lattice_tables
+
+    lt = lattice or get_lattice_tables(tables)
     packs = (lt.pack_coarse, lt.pack_fine, lt.m_coarse_dev, lt.m_fine_dev)
     G = tables.grid_points
 

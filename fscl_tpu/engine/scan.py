@@ -88,7 +88,13 @@ class ScanConfig:
     # refine probes +-refine_halfwidth steps per round; the pitch shrinks
     # 8x per round, so halfwidth 4 exactly covers the previous pitch
     # (+-pitch/2) with no gap while halving the refine stage's work
-    refine_halfwidth: int = 4  # exact re-eval candidates per interval
+    refine_halfwidth: int = 4
+    # the zoom continues one round BELOW bp_resl (to bp_resl/4, floor 16):
+    # the CLR surface varies at sub-128-bp scale near informative sites
+    # (a measured genome1m case moved 0.87 CLR across 66 bp), and the
+    # reference's bisection probes land anywhere at bp_resl pitch — a
+    # sub-resolution polish round keeps our probed maxima dominant
+    refine_subresl: bool = True  # exact re-eval candidates per interval
     # SNP-anchored dense probes: at large alpha the CLR surface has
     # sub-kb-wide maxima pinned to individual sites (the reference's
     # bisection lands on them, scan-chromosome.c:66-71 bumps off exact
@@ -189,18 +195,29 @@ class _ChromosomeBlock:
         sl = slice(cl.start_index, cl.start_index + cl.n_snps)
         n = cl.n_snps
         w_pad = _pad_sites(n)
-        pos = np.full(w_pad, np.iinfo(np.int32).max // 2, dtype=np.int32)
-        pos[:n] = data.pos[sl]
-        row = np.zeros(w_pad, dtype=np.int32)
-        row[:n] = data.row[sl]
-        null = np.zeros(w_pad, dtype=np.float32)
-        null[:n] = data.null_logl[sl]
         self.n = n
         self.w_pad = w_pad
         self.pos_np = np.asarray(data.pos[sl])
-        self.pos = jnp.asarray(pos)
-        self.row = jnp.asarray(row)
-        self.null = jnp.asarray(null)
+        # per-chromosome device uploads memoized on the dataset (repeat
+        # scans re-upload ~10 MB of identical arrays otherwise;
+        # attach_model drops the cache with the rest of the device state)
+        cache = getattr(data, "_blk_cache", None)
+        if cache is None:
+            cache = data._blk_cache = {}
+        key = (cl.start_index, n)
+        if key not in cache:
+            pos = np.full(
+                w_pad, np.iinfo(np.int32).max // 2, dtype=np.int32
+            )
+            pos[:n] = data.pos[sl]
+            row = np.zeros(w_pad, dtype=np.int32)
+            row[:n] = data.row[sl]
+            null = np.zeros(w_pad, dtype=np.float32)
+            null[:n] = data.null_logl[sl]
+            cache[key] = (
+                jnp.asarray(pos), jnp.asarray(row), jnp.asarray(null)
+            )
+        self.pos, self.row, self.null = cache[key]
         self.lt = lattice_tables
         self.mesh = mesh
 
@@ -373,6 +390,18 @@ class _HistScanContext:
         """
         out = np.asarray(self.eval_max_device(cand_flat))
         return out[0], out[1]
+
+
+def get_lattice_tables(tables):
+    """Memoized LatticeTables for a model: the three lattice packs are
+    ~50 MB of host build + device upload, identical for every scan/permute
+    call on the same tables."""
+    lt = getattr(tables, "_lattice", None)
+    if lt is None:
+        lt = tables._lattice = LatticeTables(
+            tables.table, tables.grid_points
+        )
+    return lt
 
 
 def get_hist_device_arrays(data, ht, pos_np, start_index):
@@ -570,7 +599,7 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
     from ..utils import MSG_DEBUG1, logmsg
 
     _t0 = _time.monotonic()
-    lattice = lattice or LatticeTables(tables.table, tables.grid_points)
+    lattice = lattice or get_lattice_tables(tables)
     G = tables.grid_points
 
     # candidate sharding over the device mesh: the scan's dense selection,
@@ -725,9 +754,13 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         # single-branch zoom, not branch_k x).
         pitch = cfg.small_grid_sp
         offs_w = cfg.refine_halfwidth
-        while pitch > cfg.bp_resl:
-            pitch = max(pitch // 8, cfg.bp_resl)
-            final_round = pitch <= cfg.bp_resl
+        floor = (
+            max(cfg.bp_resl // 4, 16) if cfg.refine_subresl
+            else cfg.bp_resl
+        )
+        while pitch > floor:
+            pitch = max(pitch // 8, floor)
+            final_round = pitch <= floor
 
             def rcand(st, pitch=pitch):
                 bi, bj = np.nonzero(st.bkeep)
