@@ -496,6 +496,12 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
     scan_permute(data, tables, result, scan_cfg, pc)
     t_perm = time.monotonic() - t0
     pr = int(result.permute_n.sum())
+    from fscl_tpu.engine import permute as _perm_mod
+
+    perm_stats = {
+        k: round(v, 2) if isinstance(v, float) else v
+        for k, v in _perm_mod.last_stats.items()
+    }
     if out_tsv is not None:
         from fscl_tpu.io import scan_output
 
@@ -515,6 +521,7 @@ def _run_ours_phased(path, n_permute, asc_depth=0, asc_min=1,
         ours_point_rounds_per_s=round(pr / max(t_perm, 1e-9), 1),
         ours_max_clr=round(float(result.clr.max()), 2),
         ours_finished_points=int(result.permute_finished.sum()),
+        perm_stats=perm_stats,
     )
 
 

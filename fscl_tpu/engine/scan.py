@@ -61,7 +61,7 @@ class ScanConfig:
     # at 1.5% of intervals.  branch_margin must be >= hist_tie_margin so
     # every potential tie cell is actually probed at bp_resl.
     branch_k: int = 6
-    branch_margin: float = 4.0
+    branch_margin: float = 3.0
     # cap on (candidates x padded sites) per device dispatch: long single
     # dispatches (> ~20s) can trip TPU-runtime watchdogs, and every distinct
     # shape costs a (minutes-long, tunnel-remote) compile.  A small cap keeps
@@ -77,8 +77,8 @@ class ScanConfig:
     # the decimate-1 tie-resolution stage (the dec-8 selection values
     # carry run-mean + decimation error that is usually ~1 CLR but tails
     # to several units when per-cell errors correlate across a window)
-    hist_tie_margin: float = 2.5
-    hist_tie_cap: int = 12  # tie-resolution candidates per interval
+    hist_tie_margin: float = 2.0
+    hist_tie_cap: int = 8  # tie-resolution candidates per interval
     # tie resolution: re-rank the tie pool on the UNdecimated lattice
     # (run-mean error only, ~8x smaller cells), then the exact kernel
     # evaluates the survivors within exact_margin of the dec-1 winner
