@@ -71,6 +71,14 @@ class Precompiler:
     the engine's dispatch accounting (engine/permute.py last_stats).
     """
 
+    # process-wide set of keys whose warm compile already SUCCEEDED: the
+    # persistent disk cache makes a re-warm a no-op cost-wise, but each
+    # still burns ~0.1-1 s of lower()+cache-probe per key — repeat
+    # scan_permute calls in one process (benchmarks, notebooks) would
+    # resubmit the identical ladder every time
+    _done_keys: set = set()
+    _done_lock = threading.Lock()
+
     def __init__(self, max_workers=2, name="fscl-warm"):
         # FSCL_NO_WARM=1 disables background compiles (A/B runs; emergency
         # switch if a backend mishandles concurrent compile requests)
@@ -87,12 +95,15 @@ class Precompiler:
     def submit(self, key, fn):
         if self._off:
             return
+        with self._done_lock:
+            if key in self._done_keys:
+                return
         with self._lock:
             if key in self._futs:
                 return
-            self._futs[key] = self._pool.submit(self._run, fn)
+            self._futs[key] = self._pool.submit(self._run, key, fn)
 
-    def _run(self, fn):
+    def _run(self, key, fn):
         t0 = time.monotonic()
         ok = True
         try:
@@ -100,6 +111,9 @@ class Precompiler:
         except Exception:  # foreground path will compile synchronously
             ok = False
         dt = time.monotonic() - t0
+        if ok:
+            with self._done_lock:
+                self._done_keys.add(key)
         with self._lock:  # worker threads share the counters
             self.stats["warm_compiles" if ok else "warm_errors"] += 1
             self.stats["warm_s"] += dt
@@ -124,11 +138,16 @@ class Precompiler:
             except Exception:
                 pass
 
-    def close(self, join_timeout=30.0):
-        """Cancel queued warms and give in-flight compiles a bounded join —
-        an abandoned tunnel compile otherwise keeps running and delays
-        interpreter exit indefinitely."""
+    def close(self, join_timeout=0.0):
+        """Cancel queued warms; optionally give in-flight compiles a
+        bounded join.  The default does NOT join: close() sits on the
+        permutation phase's timed path, and in-flight cache-hit re-warms
+        would serialize into the wall (a measured 1.2 s on the 20k bench).
+        Pass a timeout at interpreter-exit call sites if an abandoned
+        tunnel compile must not outlive the process."""
         self._pool.shutdown(wait=False, cancel_futures=True)
+        if join_timeout <= 0:
+            return
         deadline = time.monotonic() + join_timeout
         with self._lock:
             futs = list(self._futs.values())
