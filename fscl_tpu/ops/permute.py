@@ -67,11 +67,33 @@ def _replicates(key, start, g0, *, n_blocks, n_replicates, width):
         block = ((g0.astype(jnp.float32) + phase) / width).astype(jnp.int32)
         block = jnp.clip(block, 0, n_blocks - 2)  # [W], monotone
         block = block.at[-1].set(n_blocks - 1)  # pinned tail block
+        # identity rejection: redraw until the shuffle moves something.
+        # The reference's sequential swap runs never produce the identity
+        # (scan-chromosome.c:336-389 always relocates the destination
+        # run), and for short genomes with only 2-3 shuffleable blocks
+        # the identity draw had probability 1/2-1/6, inflating every
+        # p-value by that amount.  Excluding it biases the test by at
+        # most 1/(B-1)! toward anti-conservatism — standard permutation
+        # practice.  With a single shuffleable block no redraw can help;
+        # the loop exits (degenerate span < one block width).
+        B = n_blocks - 1
+        ident = jnp.arange(B, dtype=jnp.int32)
+
+        def draw(kp):
+            return jax.random.permutation(kp, B).astype(jnp.int32)
+
+        def cond(c):
+            kp, o = c
+            return jnp.all(o == ident) & (B > 1)
+
+        def body(c):
+            kp, _ = c
+            kp2 = jax.random.fold_in(kp, 1)
+            return kp2, draw(kp2)
+
+        _, head = jax.lax.while_loop(cond, body, (k_perm, draw(k_perm)))
         order = jnp.concatenate(
-            [
-                jax.random.permutation(k_perm, n_blocks - 1),
-                jnp.full((1,), n_blocks - 1, jnp.int32),
-            ]
+            [head, jnp.full((1,), n_blocks - 1, jnp.int32)]
         )
         # direct construction (no O(W log W) argsort): output slot s holds
         # the (s - dst_off[j])-th site of block order[j], where j is s's
@@ -144,21 +166,18 @@ def _group_first_positions(gpos):
     return dev, span
 
 
-MIN_BLOCKS = 6  # block-count floor for short genomes: with fewer blocks
-# the uniform block shuffle degenerates (2 blocks -> identity with
-# probability 1/2, which inflates every p-value by ~0.5).  The reference
-# has no such degeneracy because its source runs clamp at chromosome/array
-# ends (scan-chromosome.c:355-361: the span-extension loop stops at a
-# chromosome change), so sub-width chromosomes still mix; capping the
-# effective width at span/MIN_BLOCKS reproduces that behavior while
-# leaving any genome longer than MIN_BLOCKS * width untouched.
-
-
 def effective_block_width(span, width_bp):
-    """Block span floor, capped so short genomes keep >= MIN_BLOCKS blocks."""
-    if span > 0:
-        return max(min(float(width_bp), span / MIN_BLOCKS), 1.0)
-    return float(width_bp)
+    """Block span actually used by the sigma program.
+
+    Round 3 history: a span/6 cap briefly shrank blocks on short genomes
+    to avoid the 2-block identity draw, but sub-width blocks over-mix
+    sweep-scale LD (measured anti-conservative p on the 5 Mb ms_sweep
+    segments vs the reference).  The identity draw is now excluded by
+    rejection inside _replicates instead, so blocks keep the full
+    scan-width span the statistic intends (scan-chromosome.c:355-361).
+    """
+    del span
+    return max(float(width_bp), 1.0)
 
 
 def n_blocks_for(span, width_bp):
@@ -181,8 +200,7 @@ def block_permutation_groups(key, gpos, width_bp, n_replicates, start=0):
     place, so the expansion never exceeds the real site count.
 
     gpos: [W] genome-wide monotone bp coordinates (chromosome offsets
-    added).  width_bp: minimum block span (scan_width_mb * 1e6), capped at
-    span/MIN_BLOCKS for short genomes (see effective_block_width).  start:
+    added).  width_bp: minimum block span (scan_width_mb * 1e6).  start:
     absolute index of the first replicate; row r is a pure function of
     (key, start + r), so any chunking of the replicate stream reproduces
     it.

@@ -206,25 +206,18 @@ class TestPermute:
         assert np.median(spans) > 0.5 * width
 
     def test_short_genome_keeps_mixing(self):
-        # a genome SHORTER than the block width must not degenerate to a
-        # 2-block shuffle (identity with probability 1/2): the effective
-        # width caps at span/MIN_BLOCKS, mirroring the reference's
-        # chromosome-end block clamping (scan-chromosome.c:355-361)
-        from fscl_tpu.ops.permute import MIN_BLOCKS, effective_block_width
-
+        # a genome SHORTER than the block width must not degenerate to the
+        # identity permutation (a 2-block shuffle drew it with probability
+        # 1/2, inflating every p-value by ~0.5): the identity draw is
+        # excluded by rejection, mirroring the reference's swap process
+        # which always relocates a run (scan-chromosome.c:336-389)
         gpos = np.sort(
             np.random.default_rng(2).choice(1_000_000, 1000, replace=False)
         )
-        span = gpos[-1] - gpos[0]
-        assert effective_block_width(span, 1_000_000) <= span / MIN_BLOCKS
         sig = np.asarray(
             block_permutation_indices(jax.random.key(9), gpos, 1_000_000, 64)
         )
-        ident = np.array_equal(
-            sig, np.tile(np.arange(1000), (64, 1))
-        )
-        assert not ident
-        id_rows = (sig == np.arange(1000)[None, :]).all(axis=1).mean()
-        assert id_rows < 0.1  # was ~0.5 with the 2-block degeneracy
+        id_rows = (sig == np.arange(1000)[None, :]).all(axis=1).sum()
+        assert id_rows == 0
         for r in range(0, 64, 16):  # still bijective
             assert np.array_equal(np.sort(sig[r]), np.arange(1000))
