@@ -1041,8 +1041,19 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     # so runs stay reproducible; a memory cap bounds sigma at ~4 GB.
     boost_cap = max(1, 1_024_000_000 // max(n_groups, 1) // max(R_gen, 1))
 
-    def _boost(n_act):
+    def _boost(n_act, rounds_done=0):
         b = 1
+        if (
+            n_act <= HIST_POINT_BUCKET * 4
+            and rounds_done >= 8 * cfg.chunk_replicates
+        ):
+            b = 4  # mid-run: a few hundred survivors took thousands of
+            # rounds at 32 reps/chunk (~545 s of the round-3 genome1m
+            # wall); 128-rep chunks amortize the per-chunk fixed costs
+            # and overshoot dying points by ~64 rounds against their
+            # thousands-of-rounds lifetimes.  The rounds_done gate keeps
+            # short runs (e.g. 50-permutation benches, where pruning
+            # inside the first chunks is the whole game) on fine chunks.
         if n_act <= HIST_POINT_BUCKET // 4:
             b = 16
         if n_act <= HIST_POINT_BUCKET // 16:
@@ -1177,7 +1188,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     threshold = np.zeros(K)
     obs_sigma = _pad_sigma(jnp.arange(n_groups, dtype=jnp.int32)[None, :])
     th_pending = []
-    b0 = _boost(int(active.sum()))
+    b0 = _boost(int(active.sum()), rounds_done)
     R0 = min(cfg.chunk_replicates * b0, max(cfg.n_permute - rounds_done, 1))
     for st in stacks:
         # geometry and thresholds only for points still ACTIVE: finished
@@ -1258,7 +1269,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         with _InterruptState(dump_fn) as intr:
             while active.any() and rounds_done < cfg.n_permute:
                 _tr = _time.monotonic()
-                boost = _boost(int(active.sum()))
+                boost = _boost(int(active.sum()), rounds_done)
                 R = min(cfg.chunk_replicates * boost,
                         cfg.n_permute - rounds_done)
                 # shard only when the replicate padding stays reasonable (small
@@ -1384,7 +1395,10 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 # jump so the transition chunk pays a cache hit, not a compile
                 if mesh is None:
                     n_act_now = int(active.sum())
-                    b_next = _boost(max(n_act_now // 4, 1))
+                    b_next = _boost(
+                        max(n_act_now // 4, 1),
+                        rounds_done + cfg.chunk_replicates,
+                    )
                     if b_next > boost and n_act_now:
                         R_next = min(cfg.chunk_replicates * b_next,
                                      max(cfg.n_permute - rounds_done, 1))
@@ -1603,7 +1617,10 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
 
 def _boost_levels(n_act, n_groups, cfg):
     """(initial boost, cap) — the adaptive-cadence rule of the hist driver
-    as a pure function, for shape prediction (prewarm_hist_permute)."""
+    as a pure function, for shape prediction (prewarm_hist_permute).
+    MUST mirror the driver's _boost at rounds_done=0 (prewarm predicts
+    the SETUP shapes; the mid-run b=4 tier is gated on elapsed rounds and
+    is warmed by the driver's predictive path instead)."""
     R_gen = -(-cfg.chunk_replicates // HIST_REP_SUB) * HIST_REP_SUB
     boost_cap = max(1, 1_024_000_000 // max(n_groups, 1) // max(R_gen, 1))
     b = 1
