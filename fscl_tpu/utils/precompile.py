@@ -79,7 +79,7 @@ class Precompiler:
     _done_keys: set = set()
     _done_lock = threading.Lock()
 
-    def __init__(self, max_workers=2, name="fscl-warm"):
+    def __init__(self, max_workers=3, name="fscl-warm"):
         # FSCL_NO_WARM=1 disables background compiles (A/B runs; emergency
         # switch if a backend mishandles concurrent compile requests)
         self._off = os.environ.get("FSCL_NO_WARM", "") == "1"
