@@ -79,11 +79,14 @@ class ScanConfig:
     # to several units when per-cell errors correlate across a window)
     hist_tie_margin: float = 2.0
     hist_tie_cap: int = 8  # tie-resolution candidates per interval
-    # tie resolution: re-rank the tie pool on the UNdecimated lattice
-    # (run-mean error only, ~8x smaller cells), then the exact kernel
-    # evaluates the survivors within exact_margin of the dec-1 winner
-    tie_decimate: int = 1
-    exact_margin: float = 0.5
+    # tie resolution: re-rank the tie pool on a near-undecimated lattice
+    # (decimate 2: run-mean + tiny decimation error, ~0.05 CLR — 4x the
+    # dec-1 error at half the bounds-gather rows), then the exact kernel
+    # evaluates the survivors within exact_margin of the winner.  A tied
+    # runner-up chosen wrongly costs at most the tie-resolution error plus
+    # exact_margin, inside the 0.5-CLR parity band.
+    tie_decimate: int = 2
+    exact_margin: float = 0.25
     exact_cap: int = 2
     # refine probes +-refine_halfwidth steps per round; the pitch shrinks
     # 8x per round, so halfwidth 4 exactly covers the previous pitch
