@@ -385,7 +385,7 @@ def cfg_ms_neutral(args):
                     binary=REF_MS_BIN)
         out.update(ref_wall_s=round(w, 2),
                    ref_point_rounds=point_rounds_from_tsv(ref_out))
-    if _both_nonempty(ours_out, ref_out):
+    if _both_nonempty(ours_out, ref_out) and not args.ref_only:
         out["parity_compat_mode"] = "compat_mirror_unfolded"
         out.update(compare_parity(ours_out, ref_out, perm_cols=True))
     merge_results("ms_neutral", out)
@@ -411,7 +411,7 @@ def cfg_ms_sweep(args):
                      "-v", "0"], binary=REF_MS_BIN)
         out.update(ref_wall_s=round(w, 2),
                    ref_point_rounds=point_rounds_from_tsv(ref_out))
-    if _both_nonempty(ours_out, ref_out):
+    if _both_nonempty(ours_out, ref_out) and not args.ref_only:
         # all-folded data: the mirrored-unfolded accumulation (bug #1)
         # never fires, so no compat mode is needed for model parity
         out.update(compare_parity(ours_out, ref_out, perm_cols=True))
@@ -630,7 +630,7 @@ def genome1m_neutral_parity(run_ours=True, run_ref_side=True):
             ["-f", str(path), "-o", str(ref_out),
              "--force-neutral-spectrum", "-v", "0"]
         ), 2)
-    if _both_nonempty(ours_out, ref_out):
+    if _both_nonempty(ours_out, ref_out) and run_ours:
         out.update({
             "neutral_" + k: v
             for k, v in compare_parity(ours_out, ref_out).items()

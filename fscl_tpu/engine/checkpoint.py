@@ -52,12 +52,33 @@ def save_checkpoint(path, result, rounds_done, seed):
         permute_n=result.permute_n,
         permute_p=result.permute_p,
         permute_finished=result.permute_finished,
+        stat_threshold=_thresholds_of(result),
         clr=result.clr,
         sweep_pos=result.sweep_pos,
         null_lengths=res_lengths,
         null_flat=flat,
     )
     os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+
+
+def _thresholds_of(result):
+    """The result's stat_threshold vector (NaN-filled when never set).
+
+    The observed PERMUTATION-statistic values must survive a resume: the
+    tail projection (engine/pvalues.py) compares nulls against this
+    threshold, and a resumed run recomputes it only for still-ACTIVE
+    points — without persistence, already-finished points would silently
+    fall back to the dense-scan CLR and reintroduce the decimation-offset
+    tail miscalibration the threshold exists to avoid (ADVICE r3)."""
+    thr = getattr(result, "stat_threshold", None)
+    if thr is None:
+        thr = np.full(result.n_points, np.nan)
+    return np.asarray(thr, dtype=np.float64)
+
+
+def _restore_thresholds(z, result):
+    if "stat_threshold" in z.files:  # absent in pre-round-4 checkpoints
+        result.stat_threshold = np.asarray(z["stat_threshold"], np.float64)
 
 
 def _check_identity(z, result):
@@ -80,6 +101,7 @@ def load_checkpoint(path, result):
         result.permute_n[:] = z["permute_n"]
         result.permute_p[:] = z["permute_p"]
         result.permute_finished[:] = z["permute_finished"]
+        _restore_thresholds(z, result)
         lengths = z["null_lengths"]
         flat = z["null_flat"]
         off = 0
@@ -161,6 +183,7 @@ class Checkpointer:
             result.permute_n[:] = z["permute_n"]
             result.permute_p[:] = z["permute_p"]
             result.permute_finished[:] = z["permute_finished"]
+            _restore_thresholds(z, result)
             idx = z["new_idx"]
             lens = z["new_lens"]
             vals = z["new_vals"]
@@ -191,6 +214,7 @@ class Checkpointer:
                 permute_n=result.permute_n,
                 permute_p=result.permute_p,
                 permute_finished=result.permute_finished,
+                stat_threshold=_thresholds_of(result),
                 new_idx=np.asarray(idx, dtype=np.int32),
                 new_lens=np.asarray(lens, dtype=np.int32),
                 new_vals=(

@@ -288,17 +288,37 @@ def _apply_round_updates(result, active, threshold, rng, cfg, act, null_max,
     CLR >= the observed statistic; once permute_p >= 20 the point finishes
     with probability permute_p/permute_n per additional exceedance; the first
     null_dist_save null CLRs are retained.
+
+    Vectorized over points except the per-exceedance pruning walk, which
+    stays serial to consume the host RNG stream in exactly the reference
+    order (one draw per exceedance past the threshold, points in ``act``
+    order) — results are bitwise identical to the naive per-point loop
+    (tests/test_permute_hist.py::test_round_updates_vectorized).
     """
-    for a, pt in enumerate(act):
-        if result.permute_finished[pt]:
-            continue
-        vals = null_max[:, a]
+    act = np.asarray(act)
+    alive = ~result.permute_finished[act]
+    a_alive = np.nonzero(alive)[0]
+    if len(a_alive) == 0:
+        return
+    # null-CLR reservoirs: one vectorized full-check, per-point extends
+    # only while below cap (late rounds skip the whole block)
+    cap = cfg.null_dist_save
+    lens = np.fromiter(
+        (len(result.null_clr[act[a]]) for a in a_alive), np.int64,
+        count=len(a_alive),
+    )
+    for a in a_alive[lens < cap]:
+        pt = act[a]
         res = result.null_clr[pt]
-        take = max(0, cfg.null_dist_save - len(res))
-        if take:
-            res.extend(vals[:take].tolist())
-        exceed = vals >= threshold[pt]
-        for e in np.where(exceed)[0]:
+        res.extend(null_max[: cap - len(res), a].tolist())
+    # exceedance scan: ONE vectorized compare; only columns with any
+    # exceedance run the serial pruning walk
+    exceed_mat = null_max[:, a_alive] >= threshold[act[a_alive]][None, :]
+    finished = np.zeros(len(act), dtype=bool)
+    for j in np.nonzero(exceed_mat.any(axis=0))[0]:
+        a = a_alive[j]
+        pt = act[a]
+        for e in np.nonzero(exceed_mat[:, j])[0]:
             result.permute_p[pt] += 1
             result.permute_n[pt] = rounds_done + int(e) + 1
             if (
@@ -306,11 +326,13 @@ def _apply_round_updates(result, active, threshold, rng, cfg, act, null_max,
                 and result.permute_p[pt] / max(result.permute_n[pt], 1)
                 >= rng.random()
             ):
-                result.permute_finished[pt] = True
+                finished[a] = True
                 break
-        if not result.permute_finished[pt]:
-            result.permute_n[pt] = rounds_done + R
-        active[pt] = not result.permute_finished[pt]
+        if finished[a]:
+            result.permute_finished[pt] = True
+    survivors = act[a_alive[~finished[a_alive]]]
+    result.permute_n[survivors] = rounds_done + R
+    active[act[a_alive]] = ~finished[a_alive]
 
 
 def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
@@ -1076,9 +1098,16 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     _sds = jax.ShapeDtypeStruct
     _oh_sds = _sds(oh_table.shape, oh_table.dtype)
     _t3_sds = _sds(ht.t3.shape, ht.t3.dtype)
+    # table/dataset statics captured in the compiled programs but NOT in
+    # the dispatch dims: Precompiler._done_keys is process-wide, so a
+    # second model/dataset in the same process with colliding dims must
+    # not silently skip warms for programs never compiled (ADVICE r3)
+    _geom_key = (ht.n_cells, ht.n_rows, ht.n_alpha, Jf, cfg.hist_bf16,
+                 n_sig_pad, str(oh_table.dtype))
 
     def _stack_key(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices):
-        return ("stack", w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices)
+        return ("stack", w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
+                _geom_key)
 
     def _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices):
         key = _stack_key(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices)
@@ -1108,7 +1137,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             n_blocks_for,
         )
 
-        key = ("sigma", n_rep)
+        key = ("sigma", n_rep, len(gpos), int(width_bp))
 
         def fn():
             g0, span = _group_first_positions(gpos)
@@ -1158,7 +1187,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             sig = tuple(
                 (tuple(a.shape), str(a.dtype)) for a in dev[:-1]
             )
-            key = ("points", sig, C, dev[-1])
+            key = ("points", sig, C, dev[-1], ht.n_cells)
 
             def fn(dev=dev, C=C):
                 sds = jax.ShapeDtypeStruct
@@ -1506,6 +1535,10 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
 
     warm = Precompiler()
     _sds = jax.ShapeDtypeStruct
+    # key scheme MUST match _scan_permute_hist's exactly: a finished
+    # prewarm marks the driver's later submit() a no-op via _done_keys
+    _geom_key = (ht.n_cells, n_rows, ht.n_alpha, Jf, cfg.hist_bf16,
+                 n_sig_pad, str(jnp.dtype(oh_dt)))
 
     def _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices):
         def fn():
@@ -1525,7 +1558,9 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
             ).compile()
 
         warm.submit(
-            ("stack", w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices), fn
+            ("stack", w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
+             _geom_key),
+            fn,
         )
 
     # geometry-build programs (_device_points): the permutation setup and
@@ -1539,7 +1574,15 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
 
     def _warm_points(w_pad, nb_pad, n_cp):
         C = n_cp * Jf
-        key = ("points-pre", w_pad, nb_pad, qb, C)
+        # mirror the driver's ("points", shapes, C, qbits, n_cells) key:
+        # the shape tuple is make_hist_device_arrays' output signature
+        sig = (
+            ((w_pad,), "int32"),
+            ((w_pad + 1, 2), "int32"),
+            ((ht.n_cells,), "int32"),
+            ((nb_pad, 1 + _SLAB_K), "int32"),
+        )
+        key = ("points", sig, C, qb, ht.n_cells)
 
         def fn():
             i32 = jnp.int32
@@ -1575,7 +1618,7 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
                 width=effective_block_width(span, width_bp),
             ).compile()
 
-        warm.submit(("sigma-pre", n_rep), fn)
+        warm.submit(("sigma", n_rep, len(gpos), int(width_bp)), fn)
 
     K = sum(n for _, segs in by_len.items() for _, n in segs)
     b0 = _boost_levels(K, n_groups, cfg)[0]

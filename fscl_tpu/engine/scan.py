@@ -34,6 +34,11 @@ from ..ops.lattice import LatticeTables, two_stage_lattice_max
 from ..ops.windows import candidate_windows
 from ..utils import MSG_STATUS, cr_logmsg
 
+# dispatch counters for the most recent scan_genome call (mirrors
+# engine/permute.py last_stats): tests and the multichip dryrun assert the
+# intended path (e.g. the mesh-sharded branch) actually ran
+last_stats: dict = {}
+
 
 @dataclasses.dataclass
 class ScanConfig:
@@ -262,6 +267,9 @@ class _ChromosomeBlock:
             # which covers any seed's bracket)
             from ..parallel.shard import sharded_scan_eval
 
+            last_stats["lattice_sharded_dispatches"] = (
+                last_stats.get("lattice_sharded_dispatches", 0) + 1
+            )
             clr, la = sharded_scan_eval(
                 self.mesh, self.lt,
                 self.row if row is None else row,
@@ -367,6 +375,9 @@ class _HistScanContext:
         if self.mesh is not None:
             from ..parallel.shard import sharded_hist_eval
 
+            last_stats["hist_sharded_dispatches"] = (
+                last_stats.get("hist_sharded_dispatches", 0) + 1
+            )
             bounds, fbar = hp.bounds, hp.fbar
             pad = -(-bounds.shape[0] // self.mesh.size) * self.mesh.size
             if pad != bounds.shape[0]:
@@ -602,6 +613,7 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
     from ..utils import MSG_DEBUG1, logmsg
 
     _t0 = _time.monotonic()
+    last_stats.clear()
     lattice = lattice or get_lattice_tables(tables)
     G = tables.grid_points
 

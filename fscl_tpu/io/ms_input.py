@@ -133,29 +133,50 @@ def ms_pipeline(args, pipeline_fn):
     )
 
     from ..engine import PermuteConfig, ScanConfig, scan_genome, scan_permute
+    from ..engine.permute import prewarm_hist_permute
     from ..ops.lattice import LatticeTables
 
     lattice = LatticeTables(tables.table, tables.grid_points)
+    # the reference's single pipeline honors every flag in both -f and -m
+    # modes (fscl.c:281-314 passes the same globals); mirror that here —
+    # --no-hist and --checkpoint apply to ms input too (VERDICT r3)
     scan_cfg = ScanConfig(
         eval_range=args.eval_range, bp_resl=args.bp_resl,
         small_grid_sp=args.fine_grid_spacing,
         large_grid_sp=args.coarse_grid_spacing,
         chunk=args.chunk, refine=not args.no_refine,
+        use_hist=not args.no_hist,
     )
 
     first = True
+    block_i = 0
     for data in iter_ms_blocks(
         args.msfile, args.ms_segment_length, args.ms_folded,
         args.ms_sample_first, args.ms_sample_size,
     ):
         data.attach_model(tables)
-        result = scan_genome(data, tables, scan_cfg, lattice=lattice)
+        perm_cfg = None
         if args.n_permute > 0:
             perm_cfg = PermuteConfig(
                 n_permute=args.n_permute, permute_nbp=args.permute_nbp,
                 scan_width_mb=args.sweep_width,
                 chunk_replicates=args.chunk_replicates, seed=args.seed,
+                alpha_factor=args.alpha_factor,
+                use_hist=not args.no_hist,
+                # one checkpoint per block: the identity check
+                # (engine/checkpoint.py) ties a file to one scan's
+                # positions/CLRs, and each ms block is its own scan
+                checkpoint_path=(
+                    f"{args.checkpoint}.block{block_i}"
+                    if args.checkpoint else None
+                ),
             )
+            # permutation programs compile in the background while the
+            # block scans (same prewarm the -f pipeline runs; repeat
+            # blocks share shapes, so later submits dedup via _done_keys)
+            prewarm_hist_permute(data, tables, scan_cfg, perm_cfg)
+        result = scan_genome(data, tables, scan_cfg, lattice=lattice)
+        if perm_cfg is not None:
             scan_permute(
                 data, tables, result, scan_cfg, perm_cfg, lattice=lattice
             )
@@ -167,4 +188,5 @@ def ms_pipeline(args, pipeline_fn):
         if args.n_permute > 0 and first:
             write_null_distribution(args.output_file, data, result)
         first = False
+        block_i += 1
     return 0

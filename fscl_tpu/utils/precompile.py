@@ -119,6 +119,9 @@ class Precompiler:
             self.stats["warm_s"] += dt
 
     def known(self, key):
+        with self._done_lock:
+            if key in self._done_keys:
+                return True
         with self._lock:
             return key in self._futs
 

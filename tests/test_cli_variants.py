@@ -60,6 +60,68 @@ def test_prepend_label_and_no_refine(small_file, tmp_path):
     assert all(len(r) == 8 for r in rows)  # label + 7 standard columns
 
 
+@pytest.fixture(scope="module")
+def ms_file(tmp_path_factory):
+    """Two-block ms file with enough sites for a permutation run."""
+    rng = np.random.default_rng(7)
+    lines = ["ms 16 2 -s 80", "1 2 3", ""]
+    for _ in range(2):
+        lines.append("//")
+        lines.append("segsites: 80")
+        pos = np.sort(rng.random(80))
+        lines.append("positions: " + " ".join(f"{p:.6f}" for p in pos))
+        for _ in range(16):
+            lines.append("".join(rng.choice(["0", "1"], 80, p=[0.75, 0.25])))
+        lines.append("")
+    f = tmp_path_factory.mktemp("cliv-ms") / "sim.ms"
+    f.write_text("\n".join(lines) + "\n")
+    return f
+
+
+MS_BASE = ["--ms-segment-length", "1000000", "-g", "100000",
+           "-G", "1000000", "--grid-points", "256", "--eval-range", "100",
+           "-v", "1"]
+
+
+def test_ms_no_hist_takes_lattice_path(ms_file, tmp_path):
+    """--no-hist must reach the permutation engine on -m input too
+    (the reference's single pipeline honors every flag in both modes,
+    fscl.c:281-314)."""
+    from fscl_tpu.engine import permute as perm_mod
+
+    out = tmp_path / "ms_nohist.tsv"
+    rc = main(["-m", str(ms_file), "-o", str(out), "--no-hist",
+               "-p", "8", "--chunk-replicates", "4", *MS_BASE])
+    assert rc == 0
+    assert perm_mod.last_stats["lattice_dispatches"] > 0
+    assert perm_mod.last_stats["hist_unsharded_dispatches"] == 0
+
+    out2 = tmp_path / "ms_hist.tsv"
+    rc = main(["-m", str(ms_file), "-o", str(out2),
+               "-p", "8", "--chunk-replicates", "4", *MS_BASE])
+    assert rc == 0
+    assert perm_mod.last_stats["lattice_dispatches"] == 0
+
+
+def test_ms_checkpoint_flag(ms_file, tmp_path):
+    """--checkpoint on -m input writes one resumable file per block."""
+    out = tmp_path / "ms_ck.tsv"
+    ck = tmp_path / "ck.npz"
+    rc = main(["-m", str(ms_file), "-o", str(out),
+               "-p", "8", "--chunk-replicates", "4",
+               "--checkpoint", str(ck), *MS_BASE])
+    assert rc == 0
+    assert (tmp_path / "ck.npz.block0").exists()
+    assert (tmp_path / "ck.npz.block1").exists()
+    # resume to more rounds: loads per-block state and continues
+    rc = main(["-m", str(ms_file), "-o", str(out),
+               "-p", "16", "--chunk-replicates", "4",
+               "--checkpoint", str(ck), *MS_BASE])
+    assert rc == 0
+    pn = np.array([int(r[5]) for r in _rows(out)])
+    assert pn.max() == 16
+
+
 def test_checkpoint_flag(small_file, tmp_path):
     out = tmp_path / "o4.tsv"
     ck = tmp_path / "c.npz"

@@ -78,6 +78,13 @@ class TestCheckpoint:
                 sorted(full.null_clr[i]), sorted(resumed.null_clr[i]), rtol=1e-5
             )
             assert resumed.permute_n[i] == 24
+        # stat_threshold must survive the resume for EVERY point — the
+        # tail projection uses it, and points finished before the restart
+        # are never recomputed (ADVICE r3): restored from the checkpoint
+        assert np.isfinite(resumed.stat_threshold).all()
+        np.testing.assert_allclose(
+            resumed.stat_threshold, full.stat_threshold, rtol=1e-5
+        )
 
     def test_checkpoint_rejects_mismatched_scan(self, small_scan, tmp_path):
         from fscl_tpu.engine.checkpoint import load_checkpoint, save_checkpoint

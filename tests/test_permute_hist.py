@@ -195,3 +195,81 @@ def test_decimated_statistic_matches_exact(scanned):
         assert np.abs(f_dec - f_exact).mean() < 0.10
     finally:
         data.attach_model(tables_256)
+
+
+def test_round_updates_vectorized():
+    """_apply_round_updates must be bitwise identical to the naive
+    per-point reference loop, INCLUDING the host RNG stream (draw order =
+    one draw per exceedance past the threshold, points in act order)."""
+    from fscl_tpu.engine.permute import (
+        PRUNE_THRESHOLD, _apply_round_updates,
+    )
+
+    def naive(result, active, threshold, rng, cfg, act, null_max,
+              rounds_done, R):
+        for a, pt in enumerate(act):
+            if result.permute_finished[pt]:
+                continue
+            vals = null_max[:, a]
+            res = result.null_clr[pt]
+            take = max(0, cfg.null_dist_save - len(res))
+            if take:
+                res.extend(vals[:take].tolist())
+            exceed = vals >= threshold[pt]
+            for e in np.where(exceed)[0]:
+                result.permute_p[pt] += 1
+                result.permute_n[pt] = rounds_done + int(e) + 1
+                if (
+                    result.permute_p[pt] >= PRUNE_THRESHOLD
+                    and result.permute_p[pt] / max(result.permute_n[pt], 1)
+                    >= rng.random()
+                ):
+                    result.permute_finished[pt] = True
+                    break
+            if not result.permute_finished[pt]:
+                result.permute_n[pt] = rounds_done + R
+            active[pt] = not result.permute_finished[pt]
+
+    class _Res:
+        pass
+
+    class _Cfg:
+        null_dist_save = 11  # small cap so fill transitions are covered
+
+    def make(seed, K):
+        r = _Res()
+        g = np.random.default_rng(seed)
+        r.permute_p = g.integers(0, 30, K).astype(np.int64)
+        r.permute_n = g.integers(1, 200, K).astype(np.int64)
+        r.permute_finished = g.random(K) < 0.2
+        r.null_clr = [
+            list(g.random(int(n)))
+            for n in g.integers(0, _Cfg.null_dist_save + 2, K)
+        ]
+        return r
+
+    g = np.random.default_rng(0)
+    for trial in range(20):
+        K, R = int(g.integers(3, 40)), int(g.integers(1, 64))
+        act = np.sort(g.choice(K, size=int(g.integers(1, K + 1)),
+                               replace=False))
+        thr = g.random(K) * 2
+        nm = g.random((R, len(act))) * 2.5  # many exceedances
+        ra = make(trial, K)
+        rb = make(trial, K)
+        aa = ~ra.permute_finished.copy()
+        ab = ~rb.permute_finished.copy()
+        rd = int(g.integers(0, 5000))
+        naive(ra, aa, thr, np.random.default_rng(99 + trial), _Cfg, act,
+              nm, rd, R)
+        _apply_round_updates(
+            rb, ab, thr, np.random.default_rng(99 + trial), _Cfg, act,
+            nm, rd, R,
+        )
+        np.testing.assert_array_equal(ra.permute_p, rb.permute_p)
+        np.testing.assert_array_equal(ra.permute_n, rb.permute_n)
+        np.testing.assert_array_equal(ra.permute_finished,
+                                      rb.permute_finished)
+        np.testing.assert_array_equal(aa, ab)
+        for x, y in zip(ra.null_clr, rb.null_clr):
+            np.testing.assert_array_equal(x, y)
