@@ -191,6 +191,12 @@ def _pipeline_snp_data(data: SNPData, args):
         refine=not args.no_refine,
         use_hist=not args.no_hist,
     )
+    # scan-stage programs compile in the background starting NOW — a cold
+    # process otherwise serializes one tunnel compile per fused stage into
+    # the scan wall (engine/scan.py prewarm_scan)
+    from .engine import prewarm_scan
+
+    prewarm_scan(data, tables, scan_cfg)
     perm_cfg = None
     if args.n_permute > 0:
         perm_cfg = PermuteConfig(

@@ -18,6 +18,7 @@ approximation that can miss maxima).  Work queues become batch dimensions.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -86,13 +87,18 @@ class ScanConfig:
     hist_tie_cap: int = 8  # tie-resolution candidates per interval
     # tie resolution: re-rank the tie pool on a near-undecimated lattice
     # (decimate 2: run-mean + tiny decimation error, ~0.05 CLR — 4x the
-    # dec-1 error at half the bounds-gather rows), then the exact kernel
-    # evaluates the survivors within exact_margin of the winner.  A tied
-    # runner-up chosen wrongly costs at most the tie-resolution error plus
-    # exact_margin, inside the 0.5-CLR parity band.
+    # dec-1 error at half the bounds-gather rows) and REPORT the winner's
+    # value directly.  A tied runner-up chosen wrongly costs at most the
+    # ~0.05 tie-resolution error, two orders inside the 0.5-CLR parity
+    # band; the per-site exact kernel stays available via --no-hist.
     tie_decimate: int = 2
-    exact_margin: float = 0.25
-    exact_cap: int = 2
+    # run-mean error scales with the decimated lattice step; when even the
+    # finest available hist table is coarser than this (small --grid-points
+    # runs: measured 2.7 CLR at step 0.094 on the 20k bench), the tie pool
+    # is re-evaluated with the exact per-site lattice kernel instead of
+    # reporting hist values.  At the production grid (G=2048, tie dec-2,
+    # step 0.023) this never triggers.
+    exact_step_max: float = 0.035
     # refine probes +-refine_halfwidth steps per round; the pitch shrinks
     # 8x per round, so halfwidth 4 exactly covers the previous pitch
     # (+-pitch/2) with no gap while halving the refine stage's work
@@ -406,6 +412,225 @@ class _HistScanContext:
         return out[0], out[1]
 
 
+def _fused_row_stream(data, ht):
+    """Genome-wide compact-row stream [W_pad] + mod-16 safety for one table.
+
+    The scan's hist stages all read the UNPERMUTED site stream, and prefix
+    differences only ever span within one chromosome's window — so every
+    chromosome can share ONE concatenated stream (data.row is already the
+    genome-wide concatenation) and every stage becomes one fused dispatch
+    instead of one per chromosome.  Padding sites carry the table's
+    sentinel row id (zero one-hot / zero weight row).  Memoized on the
+    dataset keyed by table geometry (attach_model drops the cache).
+    """
+    cache = getattr(data, "_hist_dev_cache", None)
+    if cache is None:
+        cache = data._hist_dev_cache = {}
+    key = ("fused-row", ht.n_cells, ht.n_rows, round(float(ht.step), 12))
+    if key not in cache:
+        W = int(data.n_snps)
+        w_pad = max(-(-W // 4096) * 4096, 4096)
+        sent = ht.n_rows if ht.weights is None else len(ht.rows_used)
+        rc = np.full(w_pad, sent, dtype=np.int32)
+        rc[:W] = ht.row_map[np.asarray(data.row)]
+        # int16 prefix sums stay exact mod 2^16 iff every per-(chromosome,
+        # row) count fits in int16 (windows never cross chromosomes)
+        mod16 = False
+        if ht.weights is None and w_pad > 32767:
+            mx = 0
+            for cl in data.chr_limits:
+                if cl.n_snps == 0:
+                    continue
+                sl = slice(cl.start_index, cl.start_index + cl.n_snps)
+                mx = max(mx, int(np.bincount(rc[sl.start : sl.stop]).max()))
+            mod16 = mx <= 32767
+        cache[key] = (jnp.asarray(rc), mod16)
+    return cache[key]
+
+
+# per-dispatch candidate cap for the fused scan stages: bounds+fbar for C
+# candidates cost ~16*(NC+1) bytes each; 512k candidates keeps the
+# transient geometry under ~1.5 GB and the dispatch wall under the tunnel
+# watchdog, while groups pad to ONE shared class
+_FUSED_C_CAP = 512 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub", "ps_mod16"),
+)
+def _fused_max(t3, bounds, fbar, row_all, lalpha,
+               *, n_cells, n_rows, n_alpha, c_sub, ps_mod16,
+               weights=None):
+    """hist_clr + per-candidate (max, argmax-alpha) as ONE program.
+
+    Keeping the reduction inside the jit makes each fused scan stage
+    exactly one compiled program per candidate class — the unit the
+    prewarm_scan background compiler targets."""
+    clr = hist_clr(
+        t3, bounds, fbar, row_all,
+        n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha,
+        c_sub=c_sub, weights=weights, ps_mod16=ps_mod16,
+    )
+    a = jnp.argmax(clr, axis=1)
+    best = jnp.take_along_axis(clr, a[:, None], axis=1)[:, 0]
+    return jnp.stack([best, lalpha[a]])
+
+
+def _fused_chrom_pad(n):
+    """Per-chromosome candidate padding class inside a fused stage."""
+    return max(-(-n // 2048) * 2048, 2048) if n <= 16384 \
+        else -(-n // 8192) * 8192
+
+
+def _fused_groups(pad_sizes, mesh_size=None):
+    """Pack per-chromosome padded candidate counts into dispatch groups.
+
+    Returns [(start_part, end_part, c_pad)]: full groups pad to the fixed
+    _FUSED_C_CAP class; the last (or only) group pads to a 2048/8192
+    multiple (or the mesh size).  Shared by the dispatch path and
+    prewarm_scan so warmed programs are exactly the ones dispatched."""
+    full_pad = -(-_FUSED_C_CAP // 8192) * 8192
+    if mesh_size:
+        full_pad = -(-full_pad // mesh_size) * mesh_size
+    groups, cur0, cur_n = [], 0, 0
+    for i, p in enumerate(pad_sizes):
+        if cur_n and cur_n + p > _FUSED_C_CAP:
+            groups.append((cur0, i, full_pad))
+            cur0, cur_n = i, 0
+        cur_n += p
+    if mesh_size:
+        tail = -(-cur_n // mesh_size) * mesh_size
+    else:
+        q = 2048 if cur_n <= 16384 else 8192
+        tail = max(-(-cur_n // q) * q, q)
+    groups.append((cur0, len(pad_sizes), tail))
+    return groups
+
+
+class _FusedHistEval:
+    """One fused hist_clr dispatch per scan stage for ALL chromosomes.
+
+    Geometry (run boundaries) is still built per chromosome — positions
+    restart per chromosome — but bounds shift onto the genome-wide site
+    stream (start_index offset) and concatenate device-side, so each
+    stage is one compiled program however many chromosomes the genome
+    has.  The reference's analogue is one pthread work queue over all
+    intervals of all chromosomes (scan-chromosome.c:162-216)."""
+
+    def __init__(self, ht, data, cfg, mesh=None, warm=None):
+        self.ht = ht
+        self.cfg = cfg
+        self.mesh = mesh
+        self.warm = warm
+        self.eval_range = cfg.eval_range
+        self.c_sub = getattr(cfg, "hist_c_sub", 256)
+        self.row_all, self.ps_mod16 = _fused_row_stream(data, ht)
+        self.lalpha_dev = jnp.asarray(ht.lalpha)
+
+    def _chrom_parts(self, states, flats):
+        """Per-chromosome padded (bounds, fbar) shifted to the fused axis."""
+        parts = []
+        for st, flat in zip(states, flats):
+            dev = get_hist_device_arrays(
+                st.data, self.ht, st.pos_np, st.cl.start_index
+            )
+            hp = build_hist_points(
+                self.ht, st.pos_np, flat, self.eval_range,
+                cand_pad=_fused_chrom_pad(len(flat)), device_arrays=dev,
+            )
+            # shift onto the genome-wide stream; padding rows have equal
+            # bounds (empty windows), which stay equal -> CLR exactly 0
+            parts.append(
+                (st, len(flat), hp.n_cand,
+                 hp.bounds + jnp.int32(st.cl.start_index), hp.fbar)
+            )
+        return parts
+
+    def _dispatch(self, bounds, fbar, c_pad):
+        """One fused hist_clr dispatch -> [2, c_pad] device (clr, lalpha)."""
+        pad = c_pad - bounds.shape[0]
+        if pad:
+            bounds = jnp.pad(bounds, ((0, pad), (0, 0), (0, 0)))
+            fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
+        ht = self.ht
+        if self.mesh is not None:
+            from ..parallel.shard import sharded_hist_eval
+
+            last_stats["hist_sharded_dispatches"] = (
+                last_stats.get("hist_sharded_dispatches", 0) + 1
+            )
+            return sharded_hist_eval(
+                self.mesh, ht, bounds, fbar, self.row_all,
+                ps_mod16=self.ps_mod16,
+            )
+        last_stats["hist_fused_dispatches"] = (
+            last_stats.get("hist_fused_dispatches", 0) + 1
+        )
+        if self.warm is not None:
+            key = self._program_key(c_pad)
+            if self.warm.known(key):
+                # a background warm for this exact program is in flight:
+                # block on it instead of compiling the same HLO twice
+                self.warm.wait(key)
+        return _fused_max(
+            ht.t3, bounds, fbar, self.row_all, self.lalpha_dev,
+            n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
+            c_sub=self.c_sub, ps_mod16=self.ps_mod16, weights=ht.weights,
+        )
+
+    def _program_key(self, c_pad):
+        return _fused_program_key(
+            self.ht, c_pad, int(self.row_all.shape[0]), self.c_sub,
+            self.ps_mod16,
+        )
+
+    def eval_states_device(self, states, flats):
+        """Enqueue fused dispatches; returns (pending device arrays,
+        unpack fn).  Groups of chromosomes are packed under _FUSED_C_CAP
+        candidates each, every full group padded to the SAME class so a
+        genome of any size compiles one program per stage shape."""
+        parts = self._chrom_parts(states, flats)
+        groups = _fused_groups(
+            [p[2] for p in parts],
+            mesh_size=self.mesh.size if self.mesh is not None else None,
+        )
+        pend = []
+        layout = []  # (state, offset_in_group, n_real) per group
+        for i0, i1, c_pad in groups:
+            grp = parts[i0:i1]
+            bounds = (
+                jnp.concatenate([g[3] for g in grp]) if len(grp) > 1
+                else grp[0][3]
+            )
+            fbar = (
+                jnp.concatenate([g[4] for g in grp]) if len(grp) > 1
+                else grp[0][4]
+            )
+            pend.append(self._dispatch(bounds, fbar, c_pad))
+            off = 0
+            lay = []
+            for st, n_real, n_pad, *_ in grp:
+                lay.append((st, off, n_real))
+                off += n_pad
+            layout.append(lay)
+
+        def unpack(host_groups):
+            out = {}
+            for lay, hg in zip(layout, host_groups):
+                for st, off, n_real in lay:
+                    out[st.c] = (hg[0][off : off + n_real],
+                                 hg[1][off : off + n_real])
+            return [out[st.c] for st in states]
+
+        return pend, unpack
+
+    def eval_states(self, states, flats):
+        """Fused evaluation with ONE host drain; returns [(clr, la)]."""
+        pend, unpack = self.eval_states_device(states, flats)
+        return unpack(_drain(pend))
+
+
 def get_lattice_tables(tables):
     """Memoized LatticeTables for a model: the three lattice packs are
     ~50 MB of host build + device upload, identical for every scan/permute
@@ -491,12 +716,206 @@ def make_scan_hist_tables(data, tables, n_alpha=128, decimate=1):
     return ht
 
 
-def refine_positions(best_pos, istart, iend, pitch):
+def _fused_program_key(ht, c_pad, w_pad, c_sub, ps_mod16):
+    return ("scan-histclr", c_pad, w_pad, ht.n_cells, ht.n_rows,
+            ht.n_alpha, c_sub, ps_mod16, ht.weights is not None)
+
+
+def _snp_probe_positions(data, tables, st, cfg, row_gain=None):
+    """SNP-anchored probe positions for one chromosome (owner-filtered)."""
+    if row_gain is None:
+        row_all = np.asarray(data.row)
+        null_row = np.zeros(tables.table.shape[0])
+        null_row[row_all] = np.asarray(data.null_logl)
+        row_gain = tables.table.max(axis=1) - null_row
+    sl = slice(st.cl.start_index, st.cl.start_index + st.cl.n_snps)
+    g = row_gain[np.asarray(data.row[sl])]
+    keep = g > cfg.snp_probe_min_gain
+    pos = st.pos_np[keep].astype(np.int64)
+    owner = np.searchsorted(st.istart, pos, side="right") - 1
+    ok = (owner >= 0) & (pos <= st.iend[np.clip(owner, 0, None)])
+    return pos[ok], owner[ok]
+
+
+def prewarm_scan(data, tables, cfg: ScanConfig):
+    """Start background compiles of the fused scan-stage programs.
+
+    Every fused stage's dispatch shape is a pure function of the dataset
+    geometry and the config — the dense stage's exactly (interval grid +
+    the SNP-probe gain filter, both computed here), the refine/tie stages'
+    up to the data-dependent kept-branch count, covered by warming the
+    small window of candidate classes those stages can land in.  A cold
+    process calls this right after the model build: the scan's programs
+    then compile on background threads concurrently (and the dense stage
+    blocks on its own warm instead of compiling the same HLO twice),
+    instead of serializing one tunnel compile per stage into the scan
+    wall — the round-3 first-run genome scan spent 12.5 minutes that way
+    (VERDICT r3 item 1).  Returns the Precompiler (also stored on
+    ``data._scan_warm`` for scan_genome) or None when the hist path would
+    not be taken.
+    """
+    from ..ops.histclr import _SLAB_K, _device_points, hist_geometry_ok
+    from ..utils.precompile import Precompiler
+
+    if not cfg.use_hist or jax.device_count() > 1:
+        return None
+    rows_used = np.unique(np.asarray(data.row))
+    max_n = max((cl.n_snps for cl in data.chr_limits), default=0)
+    if not (
+        hist_supported(len(rows_used), max_n)
+        and all(
+            hist_geometry_ok(
+                data.pos[cl.start_index : cl.start_index + cl.n_snps]
+            )
+            for cl in data.chr_limits if cl.n_snps > 0
+        )
+    ):
+        return None
+    ht = make_scan_hist_tables(
+        data, tables, cfg.hist_alphas, decimate=cfg.hist_decimate
+    )
+    if ht is None:
+        return None
+    ht1 = (
+        make_scan_hist_tables(
+            data, tables, cfg.hist_alphas, decimate=cfg.tie_decimate
+        )
+        if cfg.tie_decimate < cfg.hist_decimate else None
+    )
+    if ht1 is ht:
+        ht1 = None
+
+    warm = Precompiler()
+    data._scan_warm = warm
+    _sds = jax.ShapeDtypeStruct
+    qb = getattr(data, "_hist_qbits", None)
+
+    states = [
+        _ChrScanState(c, cl, data, cfg)
+        for c, cl in enumerate(data.chr_limits)
+    ]
+    c_sub = getattr(cfg, "hist_c_sub", 256)
+
+    def _warm_fused(ht_x, c_pad, w_pad, mod16):
+        key = _fused_program_key(ht_x, c_pad, w_pad, c_sub, mod16)
+
+        def fn():
+            NC = ht_x.n_cells
+            _fused_max.lower(
+                _sds(ht_x.t3.shape, ht_x.t3.dtype),
+                _sds((c_pad, 2, NC + 1), jnp.int32),
+                _sds((c_pad, 2, NC), jnp.float32),
+                _sds((w_pad,), jnp.int32),
+                _sds((ht_x.n_alpha,), jnp.float32),
+                n_cells=NC, n_rows=ht_x.n_rows, n_alpha=ht_x.n_alpha,
+                c_sub=c_sub, ps_mod16=mod16,
+                weights=(
+                    None if ht_x.weights is None
+                    else _sds(ht_x.weights.shape, ht_x.weights.dtype)
+                ),
+            ).compile()
+
+        warm.submit(key, fn)
+
+    def _warm_points(ht_x, w_pad_c, nb_pad, C):
+        # mirror _FusedHistEval's build_hist_points -> _device_points call
+        # (key scheme shared with engine/permute.py's driver warms)
+        sig = (
+            ((w_pad_c,), "int32"),
+            ((w_pad_c + 1, 2), "int32"),
+            ((ht_x.n_cells,), "int32"),
+            ((nb_pad, 1 + _SLAB_K), "int32"),
+        )
+        key = ("points", sig, C, qb, ht_x.n_cells)
+
+        def fn():
+            i32 = jnp.int32
+            ci = _sds((C,), i32)
+            _device_points.lower(
+                _sds((w_pad_c,), i32),
+                _sds((w_pad_c + 1, 2), i32),
+                _sds((ht_x.n_cells,), i32),
+                _sds((nb_pad, 1 + _SLAB_K), i32),
+                ci, ci, ci, ci,
+                n_cells=ht_x.n_cells, qbits=qb,
+            ).compile()
+
+        warm.submit(key, fn)
+
+    def _warm_stage(ht_x, flat_sizes, mod16):
+        """Warm one fused stage's programs for per-chromosome flat sizes."""
+        if ht_x is None:
+            return
+        pads = [_fused_chrom_pad(n) for n in flat_sizes]
+        w_all = _fused_row_stream(data, ht_x)[0].shape[0]
+        for _, _, c_pad in set(_fused_groups(pads)):
+            _warm_fused(ht_x, c_pad, int(w_all), mod16)
+        if qb is None:
+            return
+        geo = set()
+        for st, C in zip(states, pads):
+            n = st.cl.n_snps
+            if n == 0:
+                continue
+            pos_last = int(data.pos[st.cl.start_index + n - 1])
+            w_pad_c = max(-(-n // 4096) * 4096, 4096)
+            nb = (pos_last >> qb) + 2
+            nb_pad = max(-(-nb // 4096) * 4096, 4096)
+            geo.add((w_pad_c, nb_pad, C))
+        for w_pad_c, nb_pad, C in geo:
+            _warm_points(ht_x, w_pad_c, nb_pad, C)
+
+    row_all = np.asarray(data.row)
+    null_row = np.zeros(tables.table.shape[0])
+    null_row[row_all] = np.asarray(data.null_logl)
+    row_gain = tables.table.max(axis=1) - null_row
+
+    mod16 = _fused_row_stream(data, ht)[1]
+    mod16_1 = _fused_row_stream(data, ht1)[1] if ht1 is not None else False
+
+    # dense stage: exact flat sizes (grid + SNP probes)
+    dense_sizes = []
+    for st in states:
+        n_probe = (
+            len(_snp_probe_positions(data, tables, st, cfg, row_gain)[0])
+            if cfg.snp_probes else 0
+        )
+        dense_sizes.append(st.n_int * st.J + n_probe)
+    _warm_stage(ht, dense_sizes, mod16)
+
+    # refine rounds: kept-branch count is data-dependent; the classes for
+    # 1-3 average branches per interval cover the practical range (~1.2
+    # measured at genome scale)
+    no = 2 * cfg.refine_halfwidth + 1
+    if cfg.refine:
+        for m in (1, 2, 3):
+            _warm_stage(
+                ht, [m * st.n_int * no for st in states], mod16
+            )
+
+    # tie stage (dec tie_decimate): winner + near-ties, capped per interval
+    if ht1 is not None:
+        for m in (2, 4, cfg.hist_tie_cap):
+            _warm_stage(
+                ht1, [m * st.n_int for st in states], mod16_1
+            )
+    return warm
     """+-8 steps of ``pitch`` around per-interval winners, interval-clamped."""
     offs = np.arange(-8, 9, dtype=np.int64) * pitch
     cand = best_pos[:, None] + offs[None, :]
     cand = np.clip(cand, istart[:, None], iend[:, None])
     return cand
+
+
+def _report_pool_max(st, cand, clr, la):
+    """Per-interval (pos, clr, lalpha) = max over the evaluated tie pool."""
+    st.best_clr = np.full(st.n_int, -np.inf)
+    st.best_la = np.zeros(st.n_int)
+    st.best_pos = np.zeros(st.n_int, dtype=cand.dtype)
+    for k in np.argsort(clr):  # last write wins = max
+        st.best_clr[st.owner_x[k]] = clr[k]
+        st.best_la[st.owner_x[k]] = la[k]
+        st.best_pos[st.owner_x[k]] = cand[k]
 
 
 def _tie_candidates(st, cfg):
@@ -537,19 +956,6 @@ def _tie_candidates(st, cfg):
     return pos[keep], owner[keep]
 
 
-def _exact_select(owner, clr1, margin, cap):
-    """Per owner: keep the winner plus candidates within ``margin`` of it,
-    capped at ``cap`` by rank; boolean mask over the flat pool."""
-    o = np.lexsort((-clr1, owner))
-    os_, cs = owner[o], clr1[o]
-    start = np.searchsorted(os_, os_)
-    rank = np.arange(len(o)) - start
-    k = (cs >= cs[start] - margin) & (rank < cap)
-    keep = np.zeros(len(owner), dtype=bool)
-    keep[o[k]] = True
-    return keep
-
-
 def _drain(pending):
     """ONE host readback for a list of [2, P_i] device arrays.
 
@@ -577,11 +983,13 @@ def _drain(pending):
 class _ChrScanState:
     """Per-chromosome mutable state for the pipelined scan."""
 
-    def __init__(self, c, cl, blk, hctx, cfg):
+    def __init__(self, c, cl, data, cfg, blk=None):
         self.c = c
         self.cl = cl
-        self.blk = blk
-        self.hctx = hctx
+        self.data = data
+        sl = slice(cl.start_index, cl.start_index + cl.n_snps)
+        self.pos_np = np.asarray(data.pos[sl])
+        self.blk = blk  # lattice-fallback evaluator (hist-unsupported path)
         self.cand, self.valid, self.istart, self.iend = (
             chromosome_candidates(cl, cfg)
         )
@@ -650,14 +1058,22 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         if cfg.use_hist else None
     )
 
+    # background warm pool installed by prewarm_scan (cold-process path):
+    # the fused stages block on an in-flight warm of their exact program
+    # instead of compiling the same HLO twice through the tunnel
+    warm = getattr(data, "_scan_warm", None)
+    fused = (
+        _FusedHistEval(hist_ht, data, cfg, mesh=mesh, warm=warm)
+        if hist_ht is not None else None
+    )
+
     states = []
     for c, cl in enumerate(data.chr_limits):
-        blk = _ChromosomeBlock(data, cl, lattice, mesh=mesh)
-        hctx = (
-            _HistScanContext(hist_ht, data, cl, cfg, mesh=mesh)
-            if hist_ht is not None else None
+        blk = (
+            _ChromosomeBlock(data, cl, lattice, mesh=mesh)
+            if hist_ht is None else None
         )
-        st = _ChrScanState(c, cl, blk, hctx, cfg)
+        st = _ChrScanState(c, cl, data, cfg, blk=blk)
         cr_logmsg(
             MSG_STATUS,
             "Scanning chromosome %s - %d intervals x %d candidates",
@@ -668,14 +1084,11 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         states.append(st)
 
     def eval_stage(get_cand):
-        """Evaluate get_cand(st) for every chromosome, pipelined on the
-        hist path, per-chromosome on the lattice fallback."""
+        """Evaluate get_cand(st) for every chromosome — ONE fused dispatch
+        group on the hist path, per-chromosome on the lattice fallback."""
         flats = [get_cand(st) for st in states]
-        if hist_ht is not None:
-            pend = [
-                st.hctx.eval_max_device(f) for st, f in zip(states, flats)
-            ]
-            return _drain(pend)
+        if fused is not None:
+            return fused.eval_states(states, flats)
         return [
             st.blk.eval_candidates(f, cfg, G)[:2]
             for st, f in zip(states, flats)
@@ -691,14 +1104,9 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         null_row[row_all] = np.asarray(data.null_logl)
         row_gain = tables.table.max(axis=1) - null_row
         for st in states:
-            sl = slice(st.cl.start_index, st.cl.start_index + st.cl.n_snps)
-            g = row_gain[row_all[sl]]
-            keep = g > cfg.snp_probe_min_gain
-            pos = st.blk.pos_np[keep].astype(np.int64)
-            owner = np.searchsorted(st.istart, pos, side="right") - 1
-            ok = (owner >= 0) & (pos <= st.iend[np.clip(owner, 0, None)])
-            st.snp_cand = pos[ok]
-            st.snp_owner = owner[ok]
+            st.snp_cand, st.snp_owner = _snp_probe_positions(
+                data, tables, st, cfg, row_gain
+            )
 
     logmsg(MSG_DEBUG1, "scan setup: %.2fs", _time.monotonic() - _t0)
     _t0 = _time.monotonic()
@@ -829,77 +1237,61 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         # selection winner (dense cells, SNP probes, refine probes)
         for st in states:
             st.cand_x, st.owner_x = _tie_candidates(st, cfg)
-            st.seed_la = None
 
         # tie RESOLUTION on the (nearly) undecimated lattice: run-mean
-        # error only (~8x smaller cells than the selection stages), so
-        # the re-ranked pool collapses to ~1 exact candidate per interval
-        # and supplies a per-candidate alpha seed for the exact kernel
+        # error only (~0.05 CLR at decimate 2, ~8x smaller cells than the
+        # selection stages).  The re-ranked winner is REPORTED directly —
+        # a separate exact per-site re-evaluation bought ~0.05 CLR of
+        # accuracy for ~6.7 s of P x W gather volume at genome scale
+        # (round-3 stage walls), two orders of magnitude inside the 0.5
+        # parity band (tests/test_parity.py, bench/headline.py); the
+        # exact per-site kernel remains the --no-hist path and the parity
+        # tools' oracle (ops/lattice.py, ops/clr.py).
         ht1 = (
             make_scan_hist_tables(
                 data, tables, cfg.hist_alphas, decimate=cfg.tie_decimate
             )
             if cfg.tie_decimate < cfg.hist_decimate else None
         )
-        if ht1 is not None and ht1 is not hist_ht:
-            pend1 = []
+        if ht1 is hist_ht:
+            ht1 = None
+        ht_report = ht1 if ht1 is not None else hist_ht
+        if float(ht_report.step) > cfg.exact_step_max:
+            # even the finest hist table is too coarse to report (small
+            # --grid-points runs): exact per-site re-eval of the tie pool
             for st in states:
-                c1 = _HistScanContext(ht1, data, st.cl, cfg, mesh=mesh)
-                pend1.append(c1.eval_max_device(st.cand_x))
-            for st, (c1, l1) in zip(states, _drain(pend1)):
-                P = len(st.cand_x)
-                c1 = np.asarray(c1)[:P]
-                l1 = np.asarray(l1)[:P]
-                keep = _exact_select(
-                    st.owner_x, c1, cfg.exact_margin, cfg.exact_cap
+                if st.blk is None:
+                    st.blk = _ChromosomeBlock(data, st.cl, lattice,
+                                              mesh=mesh)
+                ex_clr, ex_la, *_ = st.blk.eval_candidates(
+                    st.cand_x, cfg, G
                 )
-                st.cand_x = st.cand_x[keep]
-                st.owner_x = st.owner_x[keep]
-                st.seed_la = l1[keep]
+                _report_pool_max(st, st.cand_x, ex_clr, ex_la)
             logmsg(
-                MSG_DEBUG1, "scan tie-resolution stage: %.2fs",
+                MSG_DEBUG1, "scan exact stage: %.2fs (%d candidates)",
                 _time.monotonic() - _t0,
+                sum(len(st.cand_x) for st in states),
             )
-            _t0 = _time.monotonic()
-
-        # exact stage: report exact CLR/alpha from the per-site lattice
-        # kernel at the surviving candidates (alpha search seeded from
-        # the tie-resolution argmax where available — the coarse stage is
-        # redundant within the fine bracket of the seed)
-        pend, sync = [], {}
-        for st in states:
-            dev = st.blk.eval_candidates_device(
-                st.cand_x, cfg, seed_la=st.seed_la
+        elif ht1 is not None:
+            fused1 = _FusedHistEval(ht1, data, cfg, mesh=mesh, warm=warm)
+            outs1 = fused1.eval_states(
+                states, [st.cand_x for st in states]
             )
-            if dev is None:  # exceeds the dispatch cap; host-split path
-                sync[st.c] = st.blk.eval_candidates(
-                    st.cand_x, cfg, G, seed_la=st.seed_la
-                )[:2]
-                pend.append(jnp.zeros((2, 0), jnp.float32))
-            else:
-                pend.append(dev)
-        for st, (ex_clr, ex_la) in zip(states, _drain(pend)):
-            if st.c in sync:
-                ex_clr, ex_la = sync[st.c]
-            P = len(st.cand_x)
-            ex_clr, ex_la = ex_clr[:P], ex_la[:P]
-            st.best_clr = np.full(st.n_int, -np.inf)
-            st.best_la = np.zeros(st.n_int)
-            st.best_pos = np.zeros(st.n_int, dtype=st.cand_x.dtype)
-            for k in np.argsort(ex_clr):  # last write wins = max
-                st.best_clr[st.owner_x[k]] = ex_clr[k]
-                st.best_la[st.owner_x[k]] = ex_la[k]
-                st.best_pos[st.owner_x[k]] = st.cand_x[k]
-
-        logmsg(
-            MSG_DEBUG1, "scan exact stage: %.2fs (%d candidates)",
-            _time.monotonic() - _t0,
-            sum(len(st.cand_x) for st in states),
-        )
+            for st, (c1, l1) in zip(states, outs1):
+                _report_pool_max(
+                    st, st.cand_x, np.asarray(c1), np.asarray(l1)
+                )
+            logmsg(
+                MSG_DEBUG1, "scan tie-resolution stage: %.2fs (%d candidates)",
+                _time.monotonic() - _t0,
+                sum(len(st.cand_x) for st in states),
+            )
+        # (otherwise: the selection tables are already at the tie
+        # decimation AND fine enough — the refine winners stand)
 
     for st in states:
         ns, lo, hi = candidate_windows(
-            st.blk.pos_np, st.best_pos, cfg.eval_range
+            st.pos_np, st.best_pos, cfg.eval_range
         )
         cl = st.cl
         out["chr_id"].append(np.full(st.n_int, st.c, dtype=np.int32))

@@ -155,6 +155,9 @@ def ms_pipeline(args, pipeline_fn):
         args.ms_sample_first, args.ms_sample_size,
     ):
         data.attach_model(tables)
+        from ..engine import prewarm_scan
+
+        prewarm_scan(data, tables, scan_cfg)
         perm_cfg = None
         if args.n_permute > 0:
             perm_cfg = PermuteConfig(

@@ -571,16 +571,25 @@ def make_hist_device_arrays(ht: HistTables, pos_np, qbits=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub"),
+    static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub", "ps_mod16"),
 )
 def hist_clr(t3, bounds, fbar, row_compact,
-             *, n_cells, n_rows, n_alpha, c_sub=64, weights=None):
+             *, n_cells, n_rows, n_alpha, c_sub=64, weights=None,
+             ps_mod16=False):
     """CLR[c, a] for every (candidate, dense lattice alpha).
 
     row_compact: [Wpad] i32 compact row ids (>= n_rows for padding — such
     sites vanish from the one-hot).  bounds/fbar from build_hist_points.
     weights: compressed-mode [Ru+1, n_rows] f32 channel table (the row id
     then selects a weight vector instead of a one-hot).  Returns [C, A].
+
+    ps_mod16: keep int16 prefix sums beyond W = 32767 by letting them wrap
+    mod 2^16 — the kernel only ever consumes prefix DIFFERENCES within one
+    candidate window, and two's-complement int16 subtraction recovers the
+    exact difference whenever it fits in int16.  Callers must guarantee
+    every per-(window, row) site count <= 32767 (the fused genome scan
+    checks per-(chromosome, row) counts host-side); halves the
+    bounds-gather traffic, the kernel's main cost, on fused site streams.
     """
     NC, R, A = n_cells, n_rows, n_alpha
     W = row_compact.shape[0]
@@ -594,7 +603,9 @@ def hist_clr(t3, bounds, fbar, row_compact,
         # prefix sums in the narrowest exact integer type: int16 when
         # counts (<= W) fit — halves the bounds-gather traffic, the
         # kernel's main cost
-        idt = jnp.int16 if W <= 32767 else jnp.int32
+        idt = (
+            jnp.int16 if (W <= 32767 or ps_mod16) else jnp.int32
+        )
         oh = (
             row_compact[:, None] == jnp.arange(R, dtype=jnp.int32)[None, :]
         )
