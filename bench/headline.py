@@ -346,6 +346,16 @@ def compare_parity(ours_tsv, ref_tsv, clr_rtol=0.02, clr_atol=0.5,
             out["parity_p_zmax"] = round(
                 float(np.abs(zm).max()) if len(zm) else 0.0, 2
             )
+            # conservative-side divergence is recorded too (ADVICE r3):
+            # the GATE stays one-sided (larger-p deviations cost power,
+            # not validity — the power cost is measured separately, see
+            # bench/power_recovery.py / PARITY.md), but '0 flags' claims
+            # must not read as two-sided agreement
+            cons = zm > 4.0
+            out["parity_p_conservative_flagged"] = int(cons.sum())
+            out["parity_p_conservative_frac"] = round(
+                float(cons.mean()) if len(zm) else 0.0, 4
+            )
             ok = ok and (len(zm) == 0 or flagged.mean() <= 0.03)
         except (ValueError, IndexError, ZeroDivisionError):
             pass

@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Sweep-detection power at matched empirical FPR: ours vs the reference C.
+
+VERDICT r3 item 6: our permutation statistic (fixed dense position grid,
+engine/permute.py) is deliberately denser than the reference's greedy
+bisection estimand (scan-chromosome.c:103-139), and on some intervals its
+null distribution sits conservatively ABOVE the C's (parity_p_zmax up to
+24 on the conservative side).  Conservative p-values are valid but can
+cost detection power.  This harness measures that cost directly:
+
+  * R replicates of a 20 Mb chromosome (n=50, 1 SNP/kb) each carry 4
+    planted sweeps (alpha 3e-5) at known positions plus thousands of null
+    intervals (fscl_tpu.sim, the sm-sample model).
+  * Both engines scan each replicate with the SAME n_permute and the same
+    model basis (--compat-mirror-unfolded on ours: the data is unfolded,
+    so the reference's background is mirrored — reference bug #1).
+  * Intervals containing a planted sweep are "sweep"; their +-1 neighbors
+    are contaminated and excluded; the rest are "null".
+  * At each nominal threshold, the reference's empirical FPR on null
+    intervals fixes the operating point; our threshold is the null-p
+    quantile hitting the SAME FPR; power = detection rate on sweep
+    intervals at that matched point.
+
+Reference replicates run in parallel subprocesses (statistics, not
+timing); ours runs in-process on one device.  Results merge into
+bench/headline_results.json under "power_recovery".
+
+Usage: python bench/power_recovery.py [--reps 24] [--permute 100]
+       [--ours-only|--ref-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as cf
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import bench as _b  # noqa: F401  (compile-cache config)
+import numpy as np
+
+DATA = REPO / "bench" / "data" / "power"
+RESULTS = REPO / "bench" / "headline_results.json"
+REF_BIN = REPO / "bench" / "fscl_ref"
+
+MB = 20.0
+N = 50
+DENSITY = 1.0
+ALPHA = 3e-5
+N_SWEEPS = 4
+COARSE = 100_000
+FINE = 1000
+
+
+def gen_replicates(reps):
+    from fscl_tpu.sim import simulate_dataset, write_snp_file
+
+    DATA.mkdir(parents=True, exist_ok=True)
+    sweeps = {}
+    for i in range(reps):
+        path = DATA / f"rep{i:03d}.sf"
+        sim = simulate_dataset(
+            seed=9000 + i, sample_size=N, snp_density=DENSITY,
+            mb_length=MB, alpha=ALPHA, n_sweeps=N_SWEEPS,
+        )
+        if not path.exists():
+            write_snp_file(path, sim["pos"], sim["freq"], sim["n"])
+        sweeps[i] = sim["sweep_pos"].tolist()
+    (DATA / "sweeps.json").write_text(json.dumps(sweeps))
+    return sweeps
+
+
+def interval_labels(pos_arr, sweep_pos):
+    """'sweep' for intervals holding a planted sweep, 'excl' for +-1
+    neighbors, 'null' otherwise; by coarse-interval index."""
+    idx = (np.asarray(pos_arr) // COARSE).astype(int)
+    s_idx = set((np.asarray(sweep_pos) // COARSE).astype(int).tolist())
+    lab = []
+    for k in idx:
+        if k in s_idx:
+            lab.append("sweep")
+        elif (k - 1) in s_idx or (k + 1) in s_idx:
+            lab.append("excl")
+        else:
+            lab.append("null")
+    return np.array(lab)
+
+
+def parse_tsv(path):
+    rows = [l.split() for l in open(path)]
+    pos = np.array([float(r[1]) for r in rows])
+    pp = np.array([float(r[4]) for r in rows])
+    pn = np.array([float(r[5]) for r in rows])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(pp < 2, 1.0 / np.maximum(pn, 1.0),
+                     (pp - 1.0) / np.maximum(pn - 1.0, 1.0))
+    return pos, p
+
+
+def run_ref_one(i, n_permute):
+    path = DATA / f"rep{i:03d}.sf"
+    out = DATA / f"rep{i:03d}.ref.tsv"
+    if not out.exists() or not out.stat().st_size:
+        subprocess.run(
+            [str(REF_BIN), "-f", str(path), "-o", str(out),
+             "-p", str(n_permute), "-g", str(FINE), "-G", str(COARSE),
+             "-v", "0"],
+            check=True, capture_output=True,
+        )
+    return i
+
+
+def run_ours_all(reps, n_permute):
+    from fscl_tpu.engine import (
+        PermuteConfig, ScanConfig, prewarm_scan, scan_genome, scan_permute,
+    )
+    from fscl_tpu.engine.permute import prewarm_hist_permute
+    from fscl_tpu.io import load_snp_input, scan_output
+    from fscl_tpu.models import background_fsp, build_tables
+
+    import jax.numpy as jnp
+
+    jnp.zeros(8).sum().item()  # absorb device-init tax
+    t0 = time.monotonic()
+    for i in range(reps):
+        out = DATA / f"rep{i:03d}.ours.tsv"
+        if out.exists() and out.stat().st_size:
+            continue
+        data = load_snp_input(DATA / f"rep{i:03d}.sf")
+        fsp = background_fsp(
+            data.obs_freq, data.depth_p, data.folded, data.sample_depths,
+            compat_mirror_unfolded=True,
+        )
+        tables = build_tables(fsp, data.sample_depths, grid_points=2048)
+        data.attach_model(tables)
+        scan_cfg = ScanConfig(small_grid_sp=FINE, large_grid_sp=COARSE)
+        pc = PermuteConfig(n_permute=n_permute, chunk_replicates=32, seed=1)
+        if i == 0:
+            prewarm_scan(data, tables, scan_cfg)
+            prewarm_hist_permute(data, tables, scan_cfg, pc)
+        result = scan_genome(data, tables, scan_cfg)
+        scan_permute(data, tables, result, scan_cfg, pc)
+        scan_output(str(out), data, result, n_permute=n_permute)
+        print(f"  ours rep{i:03d}: {time.monotonic()-t0:.1f}s cumulative",
+              file=sys.stderr)
+
+
+def collect(side, reps, sweeps):
+    ps = {"sweep": [], "null": []}
+    for i in range(reps):
+        out = DATA / f"rep{i:03d}.{side}.tsv"
+        pos, p = parse_tsv(out)
+        lab = interval_labels(pos, sweeps[i])
+        ps["sweep"].extend(p[lab == "sweep"].tolist())
+        ps["null"].extend(p[lab == "null"].tolist())
+    return {k: np.array(v) for k, v in ps.items()}
+
+
+def matched_power(ours, ref, nominal):
+    """Power at the reference's empirical FPR for one nominal threshold."""
+    fpr_ref = float((ref["null"] <= nominal).mean())
+    # our threshold: the largest p with empirical null FPR <= fpr_ref
+    k = int(np.floor(fpr_ref * len(ours["null"])))
+    thr_ours = (
+        np.sort(ours["null"])[k - 1] if k >= 1 else 0.0
+    )
+    pow_ref = float((ref["sweep"] <= nominal).mean())
+    pow_ours = float((ours["sweep"] <= thr_ours).mean())
+    n_s = len(ours["sweep"])
+    se = float(np.sqrt(max(pow_ref * (1 - pow_ref), 0.25 / n_s) / n_s))
+    return dict(
+        nominal=nominal, ref_fpr=round(fpr_ref, 4),
+        ours_matched_threshold=round(float(thr_ours), 4),
+        power_ref=round(pow_ref, 4), power_ours=round(pow_ours, 4),
+        power_delta=round(pow_ours - pow_ref, 4),
+        binom_se=round(se, 4), n_sweep_intervals=n_s,
+        n_null_intervals=len(ours["null"]),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=24)
+    ap.add_argument("--permute", type=int, default=100)
+    ap.add_argument("--ours-only", action="store_true")
+    ap.add_argument("--ref-only", action="store_true")
+    ap.add_argument("--workers", type=int, default=12)
+    args = ap.parse_args()
+
+    sweeps = gen_replicates(args.reps)
+    if not args.ours_only:
+        t0 = time.monotonic()
+        with cf.ThreadPoolExecutor(args.workers) as ex:
+            list(ex.map(lambda i: run_ref_one(i, args.permute),
+                        range(args.reps)))
+        print(f"reference side: {time.monotonic()-t0:.0f}s", file=sys.stderr)
+    if not args.ref_only:
+        run_ours_all(args.reps, args.permute)
+
+    ours = collect("ours", args.reps, sweeps)
+    ref = collect("ref", args.reps, sweeps)
+    rec = {
+        "reps": args.reps, "n_permute": args.permute,
+        "config": f"{MB:.0f}Mb n={N} {N_SWEEPS} sweeps alpha={ALPHA}",
+        "at_05": matched_power(ours, ref, 0.05),
+        "at_01": matched_power(ours, ref, 0.01),
+    }
+    # merge into headline_results.json
+    res = json.loads(RESULTS.read_text()) if RESULTS.exists() else {}
+    res["power_recovery"] = rec
+    RESULTS.write_text(json.dumps(res, indent=1, sort_keys=True))
+    print(json.dumps(rec, indent=1))
+
+
+if __name__ == "__main__":
+    main()

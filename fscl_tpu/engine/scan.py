@@ -28,6 +28,7 @@ from ..ops.histclr import (
     build_hist_points,
     build_hist_tables,
     hist_clr,
+    hist_clr_reps_ps,
     hist_supported,
     make_hist_device_arrays,
 )
@@ -412,221 +413,227 @@ class _HistScanContext:
         return out[0], out[1]
 
 
-def _fused_row_stream(data, ht):
-    """Genome-wide compact-row stream [W_pad] + mod-16 safety for one table.
+def _dataset_mod16(data, ht):
+    """Whether int16 mod-2^16 prefix sums are exact for every chromosome.
 
-    The scan's hist stages all read the UNPERMUTED site stream, and prefix
-    differences only ever span within one chromosome's window — so every
-    chromosome can share ONE concatenated stream (data.row is already the
-    genome-wide concatenation) and every stage becomes one fused dispatch
-    instead of one per chromosome.  Padding sites carry the table's
-    sentinel row id (zero one-hot / zero weight row).  Memoized on the
-    dataset keyed by table geometry (attach_model drops the cache).
+    Exact iff every per-(chromosome, row) site count fits in int16 —
+    windows never cross chromosomes, so prefix differences are bounded by
+    those counts.  ONE dataset-wide decision keeps a single compiled
+    program class across chromosomes.  Halves the bounds-gather bytes
+    (the hist kernel's main cost) on 32k+-site chromosomes, which round 3
+    ran in int32."""
+    if ht.weights is not None:
+        return False
+    cache = getattr(data, "_hist_dev_cache", None)
+    if cache is None:
+        cache = data._hist_dev_cache = {}
+    key = ("mod16", ht.n_rows)
+    if key not in cache:
+        row = ht.row_map[np.asarray(data.row)]
+        mx = 0
+        for cl in data.chr_limits:
+            if cl.n_snps == 0:
+                continue
+            sl = slice(cl.start_index, cl.start_index + cl.n_snps)
+            mx = max(mx, int(np.bincount(row[sl]).max()))
+        cache[key] = mx <= 32767
+    return cache[key]
+
+
+def _chrom_row_stream(data, ht, st):
+    """Per-chromosome padded compact-row stream [w_pad_c].
+
+    Padded to the 4096-site quantum with the table's sentinel row id
+    (zero one-hot / zero weight row), so all similar-length chromosomes
+    share ONE compiled program per stage instead of one each (round 3
+    dispatched unpadded streams: ~22 programs per stage at genome scale,
+    a 12.5-minute cold-cache scan).  Per-chromosome (rather than one
+    genome-wide concatenation) because the kernel's bounds gather reads a
+    [w_pad, R] prefix table: at ~3 MB it is VMEM-resident and gathers run
+    at full rate; a genome-wide table spills to HBM and halved the
+    measured gather rate (round-4 A/B: fused dense stage 10.8 s vs 5.5).
     """
     cache = getattr(data, "_hist_dev_cache", None)
     if cache is None:
         cache = data._hist_dev_cache = {}
-    key = ("fused-row", ht.n_cells, ht.n_rows, round(float(ht.step), 12))
+    n = st.cl.n_snps
+    w_pad = max(-(-n // 4096) * 4096, 4096)
+    sent = ht.n_rows if ht.weights is None else len(ht.rows_used)
+    key = ("chrom-row", st.cl.start_index, n, ht.n_rows, sent)
     if key not in cache:
-        W = int(data.n_snps)
-        w_pad = max(-(-W // 4096) * 4096, 4096)
-        sent = ht.n_rows if ht.weights is None else len(ht.rows_used)
         rc = np.full(w_pad, sent, dtype=np.int32)
-        rc[:W] = ht.row_map[np.asarray(data.row)]
-        # int16 prefix sums stay exact mod 2^16 iff every per-(chromosome,
-        # row) count fits in int16 (windows never cross chromosomes)
-        mod16 = False
-        if ht.weights is None and w_pad > 32767:
-            mx = 0
-            for cl in data.chr_limits:
-                if cl.n_snps == 0:
-                    continue
-                sl = slice(cl.start_index, cl.start_index + cl.n_snps)
-                mx = max(mx, int(np.bincount(rc[sl.start : sl.stop]).max()))
-            mod16 = mx <= 32767
-        cache[key] = (jnp.asarray(rc), mod16)
+        sl = slice(st.cl.start_index, st.cl.start_index + n)
+        rc[:n] = ht.row_map[np.asarray(data.row[sl])]
+        cache[key] = jnp.asarray(rc)
     return cache[key]
 
 
-# per-dispatch candidate cap for the fused scan stages: bounds+fbar for C
-# candidates cost ~16*(NC+1) bytes each; 512k candidates keeps the
-# transient geometry under ~1.5 GB and the dispatch wall under the tunnel
-# watchdog, while groups pad to ONE shared class
-_FUSED_C_CAP = 512 * 1024
+@functools.partial(jax.jit, static_argnames=("n_rows", "mod16"))
+def _build_scan_ps(row_c, *, n_rows, mod16):
+    """[w_pad+1, R] one-hot prefix sums of one chromosome's site stream.
+
+    Built ONCE per chromosome per scan and shared by every stage and both
+    decimation tables (the stream never changes during a scan, and the
+    row map is decimation-independent).  ``mod16`` keeps int16 via
+    mod-2^16 wraparound (see hist_clr's ps_mod16)."""
+    W = row_c.shape[0]
+    oh = row_c[:, None] == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+    idt = jnp.int16 if (W <= 32767 or mod16) else jnp.int32
+    ps = jnp.concatenate(
+        [jnp.zeros((1, n_rows), jnp.int32),
+         jnp.cumsum(oh.astype(jnp.int32), axis=0)], axis=0
+    )
+    return ps.astype(idt)
+
+
+@jax.jit
+def _build_scan_ps_w(row_all, weights):
+    """Compressed-mode f32 weight-channel prefix sums (per table)."""
+    wt = weights[row_all]
+    return jnp.concatenate(
+        [jnp.zeros((1, weights.shape[1]), jnp.float32),
+         jax.lax.associative_scan(jnp.add, wt, axis=0)], axis=0
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub", "ps_mod16"),
+    static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub"),
 )
-def _fused_max(t3, bounds, fbar, row_all, lalpha,
-               *, n_cells, n_rows, n_alpha, c_sub, ps_mod16,
-               weights=None):
-    """hist_clr + per-candidate (max, argmax-alpha) as ONE program.
-
-    Keeping the reduction inside the jit makes each fused scan stage
-    exactly one compiled program per candidate class — the unit the
-    prewarm_scan background compiler targets."""
-    clr = hist_clr(
-        t3, bounds, fbar, row_all,
-        n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha,
-        c_sub=c_sub, weights=weights, ps_mod16=ps_mod16,
-    )
+def _fused_max(t3, bounds, fbar, ps, lalpha,
+               *, n_cells, n_rows, n_alpha, c_sub):
+    """hist CLR from shared prefix sums + (max, argmax-alpha) per
+    candidate, as ONE program — the unit prewarm_scan compiles ahead."""
+    clr = hist_clr_reps_ps(
+        t3, bounds, fbar, ps, n_rep=1,
+        n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub,
+    )[0]
     a = jnp.argmax(clr, axis=1)
     best = jnp.take_along_axis(clr, a[:, None], axis=1)[:, 0]
     return jnp.stack([best, lalpha[a]])
 
 
 def _fused_chrom_pad(n):
-    """Per-chromosome candidate padding class inside a fused stage."""
+    """Per-chromosome candidate padding class for a scan stage."""
     return max(-(-n // 2048) * 2048, 2048) if n <= 16384 \
         else -(-n // 8192) * 8192
 
 
-def _fused_groups(pad_sizes, mesh_size=None):
-    """Pack per-chromosome padded candidate counts into dispatch groups.
+def _chrom_scan_ps(data, ht, st, mod16):
+    """Memoized per-chromosome prefix sums, shared across scan stages.
 
-    Returns [(start_part, end_part, c_pad)]: full groups pad to the fixed
-    _FUSED_C_CAP class; the last (or only) group pads to a 2048/8192
-    multiple (or the mesh size).  Shared by the dispatch path and
-    prewarm_scan so warmed programs are exactly the ones dispatched."""
-    full_pad = -(-_FUSED_C_CAP // 8192) * 8192
-    if mesh_size:
-        full_pad = -(-full_pad // mesh_size) * mesh_size
-    groups, cur0, cur_n = [], 0, 0
-    for i, p in enumerate(pad_sizes):
-        if cur_n and cur_n + p > _FUSED_C_CAP:
-            groups.append((cur0, i, full_pad))
-            cur0, cur_n = i, 0
-        cur_n += p
-    if mesh_size:
-        tail = -(-cur_n // mesh_size) * mesh_size
+    One-hot mode: shared across decimation tables too (same row map, same
+    row pad).  Compressed mode: per table (channels are SVD factors of
+    that table)."""
+    cache = data._hist_dev_cache
+    if ht.weights is None:
+        key = ("scan-ps", st.cl.start_index, st.cl.n_snps, ht.n_rows,
+               mod16)
+        if key not in cache:
+            cache[key] = _build_scan_ps(
+                _chrom_row_stream(data, ht, st), n_rows=ht.n_rows,
+                mod16=mod16,
+            )
     else:
-        q = 2048 if cur_n <= 16384 else 8192
-        tail = max(-(-cur_n // q) * q, q)
-    groups.append((cur0, len(pad_sizes), tail))
-    return groups
+        key = ("scan-ps-w", st.cl.start_index, st.cl.n_snps, ht.n_cells,
+               round(float(ht.step), 12))
+        if key not in cache:
+            cache[key] = _build_scan_ps_w(
+                _chrom_row_stream(data, ht, st), ht.weights
+            )
+    return cache[key]
 
 
 class _FusedHistEval:
-    """One fused hist_clr dispatch per scan stage for ALL chromosomes.
+    """Hist evaluation for the scan's stages: one dispatch per chromosome
+    per stage, all programs shared across chromosomes.
 
-    Geometry (run boundaries) is still built per chromosome — positions
-    restart per chromosome — but bounds shift onto the genome-wide site
-    stream (start_index offset) and concatenate device-side, so each
-    stage is one compiled program however many chromosomes the genome
-    has.  The reference's analogue is one pthread work queue over all
-    intervals of all chromosomes (scan-chromosome.c:162-216)."""
+    Site streams pad to 4096-site classes and candidate flats to
+    2048/8192 classes, so similar-length chromosomes share ONE compiled
+    program per stage (round 3 compiled ~one per chromosome per stage —
+    a 12.5-minute cold-cache scan at genome scale); per-chromosome prefix
+    sums build once per scan and are reused by every stage and both
+    decimation tables.  The reference's analogue is one pthread work
+    queue over all intervals (scan-chromosome.c:162-216)."""
 
     def __init__(self, ht, data, cfg, mesh=None, warm=None):
         self.ht = ht
+        self.data = data
         self.cfg = cfg
         self.mesh = mesh
         self.warm = warm
         self.eval_range = cfg.eval_range
         self.c_sub = getattr(cfg, "hist_c_sub", 256)
-        self.row_all, self.ps_mod16 = _fused_row_stream(data, ht)
+        self.mod16 = _dataset_mod16(data, ht)
         self.lalpha_dev = jnp.asarray(ht.lalpha)
 
-    def _chrom_parts(self, states, flats):
-        """Per-chromosome padded (bounds, fbar) shifted to the fused axis."""
-        parts = []
-        for st, flat in zip(states, flats):
-            dev = get_hist_device_arrays(
-                st.data, self.ht, st.pos_np, st.cl.start_index
-            )
-            hp = build_hist_points(
-                self.ht, st.pos_np, flat, self.eval_range,
-                cand_pad=_fused_chrom_pad(len(flat)), device_arrays=dev,
-            )
-            # shift onto the genome-wide stream; padding rows have equal
-            # bounds (empty windows), which stay equal -> CLR exactly 0
-            parts.append(
-                (st, len(flat), hp.n_cand,
-                 hp.bounds + jnp.int32(st.cl.start_index), hp.fbar)
-            )
-        return parts
-
-    def _dispatch(self, bounds, fbar, c_pad):
-        """One fused hist_clr dispatch -> [2, c_pad] device (clr, lalpha)."""
-        pad = c_pad - bounds.shape[0]
-        if pad:
-            bounds = jnp.pad(bounds, ((0, pad), (0, 0), (0, 0)))
-            fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
+    def _dispatch(self, st, flat):
+        """One chromosome-stage dispatch -> [2, c_pad] device."""
         ht = self.ht
+        dev = get_hist_device_arrays(
+            self.data, ht, st.pos_np, st.cl.start_index
+        )
+        c_pad = _fused_chrom_pad(len(flat))
+        hp = build_hist_points(
+            ht, st.pos_np, flat, self.eval_range,
+            cand_pad=c_pad, device_arrays=dev,
+        )
+        row_c = _chrom_row_stream(self.data, ht, st)
         if self.mesh is not None:
             from ..parallel.shard import sharded_hist_eval
 
             last_stats["hist_sharded_dispatches"] = (
                 last_stats.get("hist_sharded_dispatches", 0) + 1
             )
+            bounds, fbar = hp.bounds, hp.fbar
+            pad = -(-bounds.shape[0] // self.mesh.size) * self.mesh.size
+            if pad != bounds.shape[0]:
+                pad -= bounds.shape[0]
+                bounds = jnp.pad(bounds, ((0, pad), (0, 0), (0, 0)))
+                fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
             return sharded_hist_eval(
-                self.mesh, ht, bounds, fbar, self.row_all,
-                ps_mod16=self.ps_mod16,
+                self.mesh, ht, bounds, fbar, row_c,
+                ps_mod16=self.mod16,
             )
         last_stats["hist_fused_dispatches"] = (
             last_stats.get("hist_fused_dispatches", 0) + 1
         )
         if self.warm is not None:
-            key = self._program_key(c_pad)
+            key = self._program_key(st, c_pad)
             if self.warm.known(key):
                 # a background warm for this exact program is in flight:
                 # block on it instead of compiling the same HLO twice
                 self.warm.wait(key)
         return _fused_max(
-            ht.t3, bounds, fbar, self.row_all, self.lalpha_dev,
+            ht.t3, hp.bounds, hp.fbar,
+            _chrom_scan_ps(self.data, ht, st, self.mod16),
+            self.lalpha_dev,
             n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
-            c_sub=self.c_sub, ps_mod16=self.ps_mod16, weights=ht.weights,
+            c_sub=self.c_sub,
         )
 
-    def _program_key(self, c_pad):
+    def _program_key(self, st, c_pad):
+        w_pad = max(-(-st.cl.n_snps // 4096) * 4096, 4096)
         return _fused_program_key(
-            self.ht, c_pad, int(self.row_all.shape[0]), self.c_sub,
-            self.ps_mod16,
+            self.ht, c_pad, w_pad, self.c_sub, self.mod16
         )
 
     def eval_states_device(self, states, flats):
-        """Enqueue fused dispatches; returns (pending device arrays,
-        unpack fn).  Groups of chromosomes are packed under _FUSED_C_CAP
-        candidates each, every full group padded to the SAME class so a
-        genome of any size compiles one program per stage shape."""
-        parts = self._chrom_parts(states, flats)
-        groups = _fused_groups(
-            [p[2] for p in parts],
-            mesh_size=self.mesh.size if self.mesh is not None else None,
-        )
-        pend = []
-        layout = []  # (state, offset_in_group, n_real) per group
-        for i0, i1, c_pad in groups:
-            grp = parts[i0:i1]
-            bounds = (
-                jnp.concatenate([g[3] for g in grp]) if len(grp) > 1
-                else grp[0][3]
-            )
-            fbar = (
-                jnp.concatenate([g[4] for g in grp]) if len(grp) > 1
-                else grp[0][4]
-            )
-            pend.append(self._dispatch(bounds, fbar, c_pad))
-            off = 0
-            lay = []
-            for st, n_real, n_pad, *_ in grp:
-                lay.append((st, off, n_real))
-                off += n_pad
-            layout.append(lay)
+        """Enqueue every chromosome's dispatch; (pending, unpack fn)."""
+        pend = [
+            self._dispatch(st, flat) for st, flat in zip(states, flats)
+        ]
+        lens = [len(f) for f in flats]
 
-        def unpack(host_groups):
-            out = {}
-            for lay, hg in zip(layout, host_groups):
-                for st, off, n_real in lay:
-                    out[st.c] = (hg[0][off : off + n_real],
-                                 hg[1][off : off + n_real])
-            return [out[st.c] for st in states]
+        def unpack(host_outs):
+            return [
+                (h[0][:n], h[1][:n]) for h, n in zip(host_outs, lens)
+            ]
 
         return pend, unpack
 
     def eval_states(self, states, flats):
-        """Fused evaluation with ONE host drain; returns [(clr, la)]."""
+        """Pipelined evaluation with ONE host drain; returns [(clr, la)]."""
         pend, unpack = self.eval_states_device(states, flats)
         return unpack(_drain(pend))
 
@@ -801,18 +808,19 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
 
         def fn():
             NC = ht_x.n_cells
+            ps_dt = (
+                jnp.float32 if ht_x.weights is not None
+                else (jnp.int16 if (w_pad <= 32767 or mod16)
+                      else jnp.int32)
+            )
             _fused_max.lower(
                 _sds(ht_x.t3.shape, ht_x.t3.dtype),
                 _sds((c_pad, 2, NC + 1), jnp.int32),
                 _sds((c_pad, 2, NC), jnp.float32),
-                _sds((w_pad,), jnp.int32),
+                _sds((w_pad + 1, ht_x.n_rows), ps_dt),
                 _sds((ht_x.n_alpha,), jnp.float32),
                 n_cells=NC, n_rows=ht_x.n_rows, n_alpha=ht_x.n_alpha,
-                c_sub=c_sub, ps_mod16=mod16,
-                weights=(
-                    None if ht_x.weights is None
-                    else _sds(ht_x.weights.shape, ht_x.weights.dtype)
-                ),
+                c_sub=c_sub,
             ).compile()
 
         warm.submit(key, fn)
@@ -843,35 +851,59 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
         warm.submit(key, fn)
 
     def _warm_stage(ht_x, flat_sizes, mod16):
-        """Warm one fused stage's programs for per-chromosome flat sizes."""
+        """Warm one scan stage's programs for per-chromosome flat sizes."""
         if ht_x is None:
             return
-        pads = [_fused_chrom_pad(n) for n in flat_sizes]
-        w_all = _fused_row_stream(data, ht_x)[0].shape[0]
-        for _, _, c_pad in set(_fused_groups(pads)):
-            _warm_fused(ht_x, c_pad, int(w_all), mod16)
-        if qb is None:
-            return
-        geo = set()
-        for st, C in zip(states, pads):
+        for st, n_flat in zip(states, flat_sizes):
             n = st.cl.n_snps
             if n == 0:
                 continue
-            pos_last = int(data.pos[st.cl.start_index + n - 1])
             w_pad_c = max(-(-n // 4096) * 4096, 4096)
-            nb = (pos_last >> qb) + 2
-            nb_pad = max(-(-nb // 4096) * 4096, 4096)
-            geo.add((w_pad_c, nb_pad, C))
-        for w_pad_c, nb_pad, C in geo:
-            _warm_points(ht_x, w_pad_c, nb_pad, C)
+            c_pad = _fused_chrom_pad(n_flat)
+            _warm_fused(ht_x, c_pad, w_pad_c, mod16)
+            if qb is not None:
+                pos_last = int(data.pos[st.cl.start_index + n - 1])
+                nb_pad = max(-(-((pos_last >> qb) + 2) // 4096) * 4096,
+                             4096)
+                _warm_points(ht_x, w_pad_c, nb_pad, c_pad)
 
     row_all = np.asarray(data.row)
     null_row = np.zeros(tables.table.shape[0])
     null_row[row_all] = np.asarray(data.null_logl)
     row_gain = tables.table.max(axis=1) - null_row
 
-    mod16 = _fused_row_stream(data, ht)[1]
-    mod16_1 = _fused_row_stream(data, ht1)[1] if ht1 is not None else False
+    mod16 = _dataset_mod16(data, ht)
+    mod16_1 = _dataset_mod16(data, ht1) if ht1 is not None else False
+
+    def _warm_ps(ht_x, mod16_x):
+        w_pads = {
+            max(-(-st.cl.n_snps // 4096) * 4096, 4096)
+            for st in states if st.cl.n_snps
+        }
+        for w_pad_c in w_pads:
+            if ht_x.weights is None:
+                key = ("scan-ps", w_pad_c, ht_x.n_rows, mod16_x)
+
+                def fn(w_pad_c=w_pad_c):
+                    _build_scan_ps.lower(
+                        _sds((w_pad_c,), jnp.int32),
+                        n_rows=ht_x.n_rows, mod16=mod16_x,
+                    ).compile()
+            else:
+                key = ("scan-ps-w", w_pad_c, ht_x.n_cells,
+                       round(float(ht_x.step), 12))
+
+                def fn(w_pad_c=w_pad_c):
+                    _build_scan_ps_w.lower(
+                        _sds((w_pad_c,), jnp.int32),
+                        _sds(ht_x.weights.shape, ht_x.weights.dtype),
+                    ).compile()
+
+            warm.submit(key, fn)
+
+    _warm_ps(ht, mod16)
+    if ht1 is not None and ht1.weights is not None:
+        _warm_ps(ht1, mod16_1)  # one-hot ps is shared; compressed is not
 
     # dense stage: exact flat sizes (grid + SNP probes)
     dense_sizes = []
@@ -900,6 +932,9 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
                 ht1, [m * st.n_int for st in states], mod16_1
             )
     return warm
+
+
+def refine_positions(best_pos, istart, iend, pitch):
     """+-8 steps of ``pitch`` around per-interval winners, interval-clamped."""
     offs = np.arange(-8, 9, dtype=np.int64) * pitch
     cand = best_pos[:, None] + offs[None, :]
@@ -1259,14 +1294,30 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         if float(ht_report.step) > cfg.exact_step_max:
             # even the finest hist table is too coarse to report (small
             # --grid-points runs): exact per-site re-eval of the tie pool
+            # (device-pipelined + one gather_to_host drain, so the branch
+            # works identically under multi-process meshes)
+            pend = []
             for st in states:
                 if st.blk is None:
                     st.blk = _ChromosomeBlock(data, st.cl, lattice,
                                               mesh=mesh)
-                ex_clr, ex_la, *_ = st.blk.eval_candidates(
-                    st.cand_x, cfg, G
+                max_p = max(
+                    cfg.dispatch_cap // max(st.blk.w_pad, 1), cfg.chunk
                 )
-                _report_pool_max(st, st.cand_x, ex_clr, ex_la)
+                outs = []
+                for i in range(0, len(st.cand_x), max_p):
+                    part = st.cand_x[i : i + max_p]
+                    c, l, *_ = st.blk._dispatch(part, cfg)
+                    outs.append(jnp.stack([c[: len(part)],
+                                           l[: len(part)]]))
+                pend.append(
+                    jnp.concatenate(outs, axis=1) if len(outs) > 1
+                    else outs[0]
+                )
+            for st, (ex_clr, ex_la) in zip(states, _drain(pend)):
+                _report_pool_max(
+                    st, st.cand_x, np.asarray(ex_clr), np.asarray(ex_la)
+                )
             logmsg(
                 MSG_DEBUG1, "scan exact stage: %.2fs (%d candidates)",
                 _time.monotonic() - _t0,
