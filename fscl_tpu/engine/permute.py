@@ -1173,15 +1173,15 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         ]
         return all(warm.ready(k) for k in keys)
 
-    def _warm_points_for(st, n_cp):
+    def _points_keys(st, n_cp):
         """Warm the geometry-build program (_device_points) for a
         candidate-pad class: rebuilds call it foreground, and each new
         class costs a fresh tunnel compile (the 26-43 s chunks in the
-        round-3 genome1m log were exactly these)."""
+        round-3 genome1m log were exactly these).  Returns the keys."""
         from ..ops.histclr import _device_points
 
         C = n_cp * Jf
-        ready = True
+        keys = []
         for seg in st.segs:
             dev = seg[4]
             sig = tuple(
@@ -1199,10 +1199,21 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 ).compile()
 
             warm.submit(key, fn)
-            ready = ready and warm.ready(key)
-        return ready
+            keys.append(key)
+        return keys
+
+    def _warm_points_for(st, n_cp):
+        return all(warm.ready(k) for k in _points_keys(st, n_cp))
 
     def _stat_call(st, sig, n_slices):
+        key = _stack_key(
+            st.w_seg_p, st.n_seg_pad, st.n_pts_pad, st.sub_rep, n_slices
+        )
+        if warm.known(key):
+            # an identical program is compiling on the warm pool (this
+            # instance's or the pipeline prewarm's): block on it instead
+            # of compiling the same HLO a second time through the tunnel
+            warm.wait(key)
         return _stack_stat(
             oh_table, sig, st.seg_g0, st.seg_off, st.seg_n,
             st.bounds, st.fbar, ht.t3,
@@ -1224,7 +1235,16 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         # points (checkpoint resume, pruning-tail reruns) never consume
         # their threshold, and building 10k-point geometry to serve a
         # 22-point tail made setup ~10x slower than needed
-        st.rebuild(result, _active_by_chr(st, active))
+        pts_by = _active_by_chr(st, active)
+        if mesh is None and pts_by:
+            # the pipeline prewarm submitted these geometry programs;
+            # block on any in flight rather than compiling duplicates
+            n_cp0 = _pad_pow2(
+                max(len(v) for v in pts_by.values()), minimum=4
+            )
+            for k in _points_keys(st, n_cp0):
+                warm.wait(k)
+        st.rebuild(result, pts_by)
         # warm the threshold + first-chunk programs (and the sigma
         # generator) on the background pool: thresholds for later stacks
         # compile in parallel with the first stack's, and the first
@@ -1308,6 +1328,10 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                     and -(-R // rep_step) * rep_step <= 2 * R
                 )
                 nshard = ndev if shard_now else 1
+                skey = ("sigma", R_gen * boost + q_max, len(gpos),
+                        int(width_bp))
+                if warm.known(skey):
+                    warm.wait(skey)
                 sigma_p = _pad_sigma(block_permutation_groups(
                     key0, gpos, width_bp, R_gen * boost + q_max,
                     start=rounds_done,

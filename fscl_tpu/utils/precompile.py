@@ -78,6 +78,16 @@ class Precompiler:
     # resubmit the identical ladder every time
     _done_keys: set = set()
     _done_lock = threading.Lock()
+    # process-wide registry of IN-FLIGHT warm futures: the pipeline runs
+    # several Precompiler instances (prewarm_scan, prewarm_hist_permute,
+    # the permutation driver's own), and a key already compiling in one
+    # instance must neither be compiled again by another NOR foreground-
+    # compiled by a dispatch — through the tunnel, every duplicate is a
+    # full extra compile until the first finishes and populates the disk
+    # cache.  Dispatch paths call known()/wait() to block on an in-flight
+    # warm instead (engine/scan.py _dispatch, engine/permute.py
+    # _stat_call).
+    _global_futs: dict = {}
 
     def __init__(self, max_workers=3, name="fscl-warm"):
         # FSCL_NO_WARM=1 disables background compiles (A/B runs; emergency
@@ -98,10 +108,13 @@ class Precompiler:
         with self._done_lock:
             if key in self._done_keys:
                 return
+            f = Precompiler._global_futs.get(key)
+            if f is not None and not f.done():
+                return  # in flight (possibly in another instance)
+            fut = self._pool.submit(self._run, key, fn)
+            Precompiler._global_futs[key] = fut
         with self._lock:
-            if key in self._futs:
-                return
-            self._futs[key] = self._pool.submit(self._run, key, fn)
+            self._futs[key] = fut
 
     def _run(self, key, fn):
         t0 = time.monotonic()
@@ -119,22 +132,26 @@ class Precompiler:
             self.stats["warm_s"] += dt
 
     def known(self, key):
+        """True if the key's warm finished OR is in flight in ANY
+        instance (wait() will then block on the in-flight compile)."""
         with self._done_lock:
-            if key in self._done_keys:
-                return True
-        with self._lock:
-            return key in self._futs
+            return (
+                key in self._done_keys
+                or key in Precompiler._global_futs
+            )
 
     def ready(self, key):
         """True once key's warm compile finished (or failed, or was never
         submitted — callers treat unknown keys as not-worth-waiting)."""
-        with self._lock:
-            f = self._futs.get(key)
+        with self._done_lock:
+            if key in self._done_keys:
+                return True
+            f = Precompiler._global_futs.get(key)
         return f is None or f.done()
 
     def wait(self, key, timeout=None):
-        with self._lock:
-            f = self._futs.get(key)
+        with self._done_lock:
+            f = Precompiler._global_futs.get(key)
         if f is not None:
             try:
                 f.result(timeout=timeout)
