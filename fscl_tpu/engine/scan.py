@@ -110,6 +110,21 @@ class ScanConfig:
     # reference's bisection probes land anywhere at bp_resl pitch — a
     # sub-resolution polish round keeps our probed maxima dominant
     refine_subresl: bool = True  # exact re-eval candidates per interval
+    # dense SELECTION grid stride: probe every (small_grid_sp *
+    # dense_stride) bp in the dense stage instead of every fine-grid
+    # cell; the refine rounds re-cover positions down to sub-bp_resl
+    # pitch either way.  Stride 2 halves the dense stage's bounds-gather
+    # volume (genome-scale scan 9.9 s vs 11 s) but measured 1-2 deficit
+    # intervals of 10,010 vs the reference's bisection at genome scale
+    # (max 0.87 CLR, just past the 0.5+2% parity band) even with widened
+    # branches — so the DEFAULT keeps the full -g grid; set 2 when a
+    # sub-CLR-unit selection tail is acceptable for the speed.
+    dense_stride: int = 1
+    # bfloat16 contraction for the SELECTION stages (dense + refine);
+    # the ~0.4% rounding is far inside branch/tie margins, reported
+    # values come from the f32 tie-resolution stage, and genome-scale
+    # neutral parity holds (0 deficit intervals measured)
+    selection_bf16: bool = True
     # SNP-anchored dense probes: at large alpha the CLR surface has
     # sub-kb-wide maxima pinned to individual sites (the reference's
     # bisection lands on them, scan-chromosome.c:66-71 bumps off exact
@@ -178,16 +193,17 @@ def _pad_cand(n):
     return _pad_pow2(n, 256) if n <= 512 else -(-n // 256) * 256
 
 
-def chromosome_candidates(cl, cfg):
+def chromosome_candidates(cl, cfg, stride=1):
     """Fine-grid candidate positions for one chromosome.
 
     Intervals k start at start_pos + k*large_grid_sp while < bp_length
     (scan-chromosome.c:177-204); each contributes candidates at
-    small_grid_sp pitch plus the clamped interval end.  Returns
+    small_grid_sp pitch (x ``stride`` for the selection grid, see
+    ScanConfig.dense_stride) plus the clamped interval end.  Returns
     (cand [n_int, J], valid [n_int, J], istart [n_int], iend [n_int]).
     """
     coarse = cfg.large_grid_sp
-    fine = cfg.small_grid_sp
+    fine = cfg.small_grid_sp * max(int(stride), 1)
     cpf = coarse // fine
     starts = np.arange(cl.start_pos, cl.bp_length, coarse, dtype=np.int64)
     if len(starts) == 0:
@@ -498,15 +514,22 @@ def _build_scan_ps_w(row_all, weights):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub"),
+    static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub", "mm_bf16"),
 )
 def _fused_max(t3, bounds, fbar, ps, lalpha,
-               *, n_cells, n_rows, n_alpha, c_sub):
+               *, n_cells, n_rows, n_alpha, c_sub, mm_bf16=False):
     """hist CLR from shared prefix sums + (max, argmax-alpha) per
-    candidate, as ONE program — the unit prewarm_scan compiles ahead."""
+    candidate, as ONE program — the unit prewarm_scan compiles ahead.
+
+    mm_bf16 runs the (cell, row) contraction in bfloat16 with f32
+    accumulation (~2x MXU rate): used for the SELECTION stages only
+    (dense grid, refine rounds), whose ~0.4% rounding is far inside the
+    branch/tie margins; the tie-resolution stage that produces REPORTED
+    values stays f32."""
     clr = hist_clr_reps_ps(
         t3, bounds, fbar, ps, n_rep=1,
         n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=c_sub,
+        mm_bf16=mm_bf16,
     )[0]
     a = jnp.argmax(clr, axis=1)
     best = jnp.take_along_axis(clr, a[:, None], axis=1)[:, 0]
@@ -556,12 +579,14 @@ class _FusedHistEval:
     decimation tables.  The reference's analogue is one pthread work
     queue over all intervals (scan-chromosome.c:162-216)."""
 
-    def __init__(self, ht, data, cfg, mesh=None, warm=None):
+    def __init__(self, ht, data, cfg, mesh=None, warm=None,
+                 mm_bf16=False):
         self.ht = ht
         self.data = data
         self.cfg = cfg
         self.mesh = mesh
         self.warm = warm
+        self.mm_bf16 = mm_bf16
         self.eval_range = cfg.eval_range
         self.c_sub = getattr(cfg, "hist_c_sub", 256)
         self.mod16 = _dataset_mod16(data, ht)
@@ -593,7 +618,7 @@ class _FusedHistEval:
                 fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
             return sharded_hist_eval(
                 self.mesh, ht, bounds, fbar, row_c,
-                ps_mod16=self.mod16,
+                ps_mod16=self.mod16, mm_bf16=self.mm_bf16,
             )
         last_stats["hist_fused_dispatches"] = (
             last_stats.get("hist_fused_dispatches", 0) + 1
@@ -609,13 +634,13 @@ class _FusedHistEval:
             _chrom_scan_ps(self.data, ht, st, self.mod16),
             self.lalpha_dev,
             n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
-            c_sub=self.c_sub,
+            c_sub=self.c_sub, mm_bf16=self.mm_bf16,
         )
 
     def _program_key(self, st, c_pad):
         w_pad = max(-(-st.cl.n_snps // 4096) * 4096, 4096)
         return _fused_program_key(
-            self.ht, c_pad, w_pad, self.c_sub, self.mod16
+            self.ht, c_pad, w_pad, self.c_sub, self.mod16, self.mm_bf16
         )
 
     def eval_states_device(self, states, flats):
@@ -723,9 +748,9 @@ def make_scan_hist_tables(data, tables, n_alpha=128, decimate=1):
     return ht
 
 
-def _fused_program_key(ht, c_pad, w_pad, c_sub, ps_mod16):
+def _fused_program_key(ht, c_pad, w_pad, c_sub, ps_mod16, mm_bf16=False):
     return ("scan-histclr", c_pad, w_pad, ht.n_cells, ht.n_rows,
-            ht.n_alpha, c_sub, ps_mod16, ht.weights is not None)
+            ht.n_alpha, c_sub, ps_mod16, ht.weights is not None, mm_bf16)
 
 
 def _snp_probe_positions(data, tables, st, cfg, row_gain=None):
@@ -797,14 +822,16 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
     _sds = jax.ShapeDtypeStruct
     qb = getattr(data, "_hist_qbits", None)
 
+    stride = max(int(cfg.dense_stride), 1) if cfg.refine else 1
     states = [
-        _ChrScanState(c, cl, data, cfg)
+        _ChrScanState(c, cl, data, cfg, stride=stride)
         for c, cl in enumerate(data.chr_limits)
     ]
     c_sub = getattr(cfg, "hist_c_sub", 256)
 
-    def _warm_fused(ht_x, c_pad, w_pad, mod16):
-        key = _fused_program_key(ht_x, c_pad, w_pad, c_sub, mod16)
+    def _warm_fused(ht_x, c_pad, w_pad, mod16, mm_bf16):
+        key = _fused_program_key(ht_x, c_pad, w_pad, c_sub, mod16,
+                                 mm_bf16)
 
         def fn():
             NC = ht_x.n_cells
@@ -820,7 +847,7 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
                 _sds((w_pad + 1, ht_x.n_rows), ps_dt),
                 _sds((ht_x.n_alpha,), jnp.float32),
                 n_cells=NC, n_rows=ht_x.n_rows, n_alpha=ht_x.n_alpha,
-                c_sub=c_sub,
+                c_sub=c_sub, mm_bf16=mm_bf16,
             ).compile()
 
         warm.submit(key, fn)
@@ -850,7 +877,7 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
 
         warm.submit(key, fn)
 
-    def _warm_stage(ht_x, flat_sizes, mod16):
+    def _warm_stage(ht_x, flat_sizes, mod16, mm_bf16):
         """Warm one scan stage's programs for per-chromosome flat sizes."""
         if ht_x is None:
             return
@@ -860,7 +887,7 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
                 continue
             w_pad_c = max(-(-n // 4096) * 4096, 4096)
             c_pad = _fused_chrom_pad(n_flat)
-            _warm_fused(ht_x, c_pad, w_pad_c, mod16)
+            _warm_fused(ht_x, c_pad, w_pad_c, mod16, mm_bf16)
             if qb is not None:
                 pos_last = int(data.pos[st.cl.start_index + n - 1])
                 nb_pad = max(-(-((pos_last >> qb) + 2) // 4096) * 4096,
@@ -913,7 +940,7 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
             if cfg.snp_probes else 0
         )
         dense_sizes.append(st.n_int * st.J + n_probe)
-    _warm_stage(ht, dense_sizes, mod16)
+    _warm_stage(ht, dense_sizes, mod16, cfg.selection_bf16)
 
     # refine rounds: kept-branch count is data-dependent; the classes for
     # 1-3 average branches per interval cover the practical range (~1.2
@@ -922,14 +949,15 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
     if cfg.refine:
         for m in (1, 2, 3):
             _warm_stage(
-                ht, [m * st.n_int * no for st in states], mod16
+                ht, [m * st.n_int * no for st in states], mod16,
+                cfg.selection_bf16,
             )
 
     # tie stage (dec tie_decimate): winner + near-ties, capped per interval
     if ht1 is not None:
         for m in (2, 4, cfg.hist_tie_cap):
             _warm_stage(
-                ht1, [m * st.n_int for st in states], mod16_1
+                ht1, [m * st.n_int for st in states], mod16_1, False
             )
     return warm
 
@@ -1018,15 +1046,16 @@ def _drain(pending):
 class _ChrScanState:
     """Per-chromosome mutable state for the pipelined scan."""
 
-    def __init__(self, c, cl, data, cfg, blk=None):
+    def __init__(self, c, cl, data, cfg, blk=None, stride=1):
         self.c = c
         self.cl = cl
         self.data = data
+        self.stride = stride
         sl = slice(cl.start_index, cl.start_index + cl.n_snps)
         self.pos_np = np.asarray(data.pos[sl])
         self.blk = blk  # lattice-fallback evaluator (hist-unsupported path)
         self.cand, self.valid, self.istart, self.iend = (
-            chromosome_candidates(cl, cfg)
+            chromosome_candidates(cl, cfg, stride=stride)
         )
         self.n_int, self.J = self.cand.shape
         self.r = np.arange(self.n_int)
@@ -1098,8 +1127,13 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
     # instead of compiling the same HLO twice through the tunnel
     warm = getattr(data, "_scan_warm", None)
     fused = (
-        _FusedHistEval(hist_ht, data, cfg, mesh=mesh, warm=warm)
+        _FusedHistEval(hist_ht, data, cfg, mesh=mesh, warm=warm,
+                       mm_bf16=cfg.selection_bf16)
         if hist_ht is not None else None
+    )
+    stride = (
+        max(int(cfg.dense_stride), 1)
+        if (cfg.refine and hist_ht is not None) else 1
     )
 
     states = []
@@ -1108,7 +1142,7 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
             _ChromosomeBlock(data, cl, lattice, mesh=mesh)
             if hist_ht is None else None
         )
-        st = _ChrScanState(c, cl, data, cfg, blk=blk)
+        st = _ChrScanState(c, cl, data, cfg, blk=blk, stride=stride)
         cr_logmsg(
             MSG_STATUS,
             "Scanning chromosome %s - %d intervals x %d candidates",
@@ -1210,7 +1244,7 @@ def scan_genome(data, tables, cfg: ScanConfig, lattice=None) -> ScanResult:
         # KEPT branches evaluate (flat candidate lists; clear-winner
         # intervals contribute one branch, so the stage costs ~1.2x the
         # single-branch zoom, not branch_k x).
-        pitch = cfg.small_grid_sp
+        pitch = cfg.small_grid_sp * stride
         offs_w = cfg.refine_halfwidth
         floor = (
             max(cfg.bp_resl // 4, 16) if cfg.refine_subresl

@@ -571,11 +571,13 @@ def make_hist_device_arrays(ht: HistTables, pos_np, qbits=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cells", "n_rows", "n_alpha", "c_sub", "ps_mod16"),
+    static_argnames=(
+        "n_cells", "n_rows", "n_alpha", "c_sub", "ps_mod16", "mm_bf16",
+    ),
 )
 def hist_clr(t3, bounds, fbar, row_compact,
              *, n_cells, n_rows, n_alpha, c_sub=64, weights=None,
-             ps_mod16=False):
+             ps_mod16=False, mm_bf16=False):
     """CLR[c, a] for every (candidate, dense lattice alpha).
 
     row_compact: [Wpad] i32 compact row ids (>= n_rows for padding — such
@@ -624,6 +626,8 @@ def hist_clr(t3, bounds, fbar, row_compact,
     b_c = bounds.reshape(n_chunks, c_sub, 2, NC + 1)
     f_c = fbar.reshape(n_chunks, c_sub, 2, NC)
     sign = jnp.array([-1, 1], ps.dtype)[None, :, None, None]
+    mmdt = jnp.bfloat16 if mm_bf16 else jnp.float32
+    t3m = t3.astype(mmdt)
 
     def one_chunk(carry, args):
         bc, fc = args
@@ -633,8 +637,12 @@ def hist_clr(t3, bounds, fbar, row_compact,
         )
         w0 = jnp.sum(h * (1.0 - fc[..., None]), axis=1)  # [c_sub, NC, R]
         w1 = jnp.sum(h * fc[..., None], axis=1)
-        k = jnp.concatenate([w0, w1], axis=1).reshape(c_sub, 2 * NC * R)
-        return carry, 2.0 * (k @ t3)
+        k = jnp.concatenate([w0, w1], axis=1).reshape(
+            c_sub, 2 * NC * R
+        ).astype(mmdt)
+        return carry, 2.0 * jax.lax.dot(
+            k, t3m, preferred_element_type=jnp.float32
+        )
 
     _, out = jax.lax.scan(one_chunk, None, (b_c, f_c))
     return out.reshape(n_chunks * c_sub, A)[:C]

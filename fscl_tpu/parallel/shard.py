@@ -131,7 +131,8 @@ def gather_to_host(x):
     return np.asarray(rep.addressable_shards[0].data)
 
 
-def sharded_hist_eval(mesh, ht, bounds, fbar, row_c, *, ps_mod16=False):
+def sharded_hist_eval(mesh, ht, bounds, fbar, row_c, *, ps_mod16=False,
+                      mm_bf16=False):
     """Observed-scan hist evaluation: candidates sharded over every device.
 
     The scan's dense selection stages (engine/scan.py eval_stage) are
@@ -152,6 +153,7 @@ def sharded_hist_eval(mesh, ht, bounds, fbar, row_c, *, ps_mod16=False):
             ht.t3, b_l, f_l, row_c,
             n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
             c_sub=64, weights=ht.weights, ps_mod16=ps_mod16,
+            mm_bf16=mm_bf16,
         )
         a = jnp.argmax(clr, axis=1)
         best = jnp.take_along_axis(clr, a[:, None], axis=1)[:, 0]
