@@ -120,11 +120,12 @@ def run_ours():
     result = scan_genome(data, tables, scan_cfg)
     t_scan = time.monotonic() - t0
 
-    # chunk 32 measured faster than one 50-replicate chunk (5.0k vs 6.4k
-    # point-rounds/s): the mid-run pruning pass drops ~40% of points from
-    # the second chunk's dispatches, which outweighs the second chunk's
-    # fixed host overhead
-    perm_cfg = PermuteConfig(n_permute=N_PERMUTE, chunk_replicates=32, seed=1)
+    # chunk size is re-A/B'd each engine generation (32 vs one 50-chunk):
+    # smaller chunks let the mid-run pruning pass shrink later dispatches,
+    # one chunk amortizes the fixed per-chunk host overhead once
+    chunk = int(os.environ.get("FSCL_BENCH_CHUNK", "32"))
+    perm_cfg = PermuteConfig(n_permute=N_PERMUTE, chunk_replicates=chunk,
+                             seed=1)
     # warmup = the FULL timed configuration: pruning-compacted chunks run
     # on smaller shapes than the first chunk, and a partial warmup would
     # leave those shapes to compile inside the timed pass

@@ -1317,6 +1317,24 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             int(active.sum()),
         )
 
+    def _gen_sigma(boost_x, start_x):
+        skey = ("sigma", R_gen * boost_x + q_max, len(gpos),
+                int(width_bp))
+        if warm.known(skey):
+            warm.wait(skey)
+        return _pad_sigma(block_permutation_groups(
+            key0, gpos, width_bp, R_gen * boost_x + q_max,
+            start=start_x,
+        ))
+
+    # speculative sigma for the NEXT chunk: (boost, start, device array)
+    # enqueued right before the previous chunk's host drain, so the device
+    # computes it during the readback + host-update window instead of
+    # serializing it at the top of the next iteration.  Row r of the
+    # replicate stream is a pure function of (key, start + r), so a chunk's
+    # sigma depends only on (boost, rounds_done) — the speculation is exact
+    # unless the drain changes the boost tier (rare; regenerated then).
+    sigma_spec = None
     try:
         with _InterruptState(dump_fn) as intr:
             while active.any() and rounds_done < cfg.n_permute:
@@ -1331,14 +1349,12 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                     and -(-R // rep_step) * rep_step <= 2 * R
                 )
                 nshard = ndev if shard_now else 1
-                skey = ("sigma", R_gen * boost + q_max, len(gpos),
-                        int(width_bp))
-                if warm.known(skey):
-                    warm.wait(skey)
-                sigma_p = _pad_sigma(block_permutation_groups(
-                    key0, gpos, width_bp, R_gen * boost + q_max,
-                    start=rounds_done,
-                ))
+                if (sigma_spec is not None and sigma_spec[0] == boost
+                        and sigma_spec[1] == rounds_done):
+                    sigma_p = sigma_spec[2]
+                else:
+                    sigma_p = _gen_sigma(boost, rounds_done)
+                sigma_spec = None
 
                 pending = []  # (stack, [device stats]) — drained after ALL
                 # dispatches are enqueued: groups hold disjoint points, so the
@@ -1410,6 +1426,13 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                             last_stats["hist_unsharded_dispatches"] += 1
                         r0 += Rd
                     pending.append((st, outs_slices))
+                if rounds_done + R < cfg.n_permute:
+                    # enqueue next chunk's sigma ahead of the drain (see
+                    # sigma_spec above); boost tier assumed unchanged
+                    sigma_spec = (
+                        boost, rounds_done + R,
+                        _gen_sigma(boost, rounds_done + R),
+                    )
                 if pending:
                     # concatenate every group's [R, n_active] block device-side
                     # and read back ONCE per chunk
