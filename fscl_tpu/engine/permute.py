@@ -70,6 +70,15 @@ HIST_POINT_BUCKET = 256  # scan points per hist dispatch: larger buckets
 # amortize the per-chromosome prefix-sum build and per-dispatch overheads;
 # bounds/fbar stay ~18 MB at 256 points x 49 fine candidates
 HIST_COMPACT = True  # rebuild point buckets as pruning empties them
+# Per-chunk sigma footprint cap (elements): bounds chunk_replicates x boost
+# so a single chunk's permutation stream stays inside the envelope the
+# tunnel worker demonstrably survives.  2048-replicate chunks at genome
+# scale (97k groups, ~800 MB sigma + its padded copy + the in-flight
+# speculative sigma) killed the worker with FAILED_PRECONDITION the first
+# time the boost-64 tier fired on 778k sites; 544-replicate chunks (53M
+# elements) have run 100k-permutation genomes repeatedly.  Small genomes
+# (few groups) keep the full boost ladder.
+SIGMA_ELEM_CAP = 64_000_000
 
 # dispatch counters for the most recent scan_permute call — tests assert the
 # intended path (e.g. the sharded branch) actually ran, so a config change
@@ -1060,8 +1069,9 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     # fixed costs (sigma program, dispatch round-trips, host updates)
     # dominate, so the replicate count per chunk grows 16x/64x.  The boost
     # depends only on the active count — deterministic given the config —
-    # so runs stay reproducible; a memory cap bounds sigma at ~4 GB.
-    boost_cap = max(1, 1_024_000_000 // max(n_groups, 1) // max(R_gen, 1))
+    # so runs stay reproducible; SIGMA_ELEM_CAP bounds the chunk's sigma
+    # footprint to the proven tunnel envelope.
+    boost_cap = max(1, SIGMA_ELEM_CAP // max(n_groups, 1) // max(R_gen, 1))
 
     def _boost(n_act, rounds_done=0):
         b = 1
@@ -1715,7 +1725,7 @@ def _boost_levels(n_act, n_groups, cfg):
     the SETUP shapes; the mid-run b=4 tier is gated on elapsed rounds and
     is warmed by the driver's predictive path instead)."""
     R_gen = -(-cfg.chunk_replicates // HIST_REP_SUB) * HIST_REP_SUB
-    boost_cap = max(1, 1_024_000_000 // max(n_groups, 1) // max(R_gen, 1))
+    boost_cap = max(1, SIGMA_ELEM_CAP // max(n_groups, 1) // max(R_gen, 1))
     b = 1
     if n_act <= HIST_POINT_BUCKET // 4:
         b = 16
