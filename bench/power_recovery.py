@@ -116,7 +116,7 @@ def run_ref_one(i, n_permute):
     return i
 
 
-def run_ours_all(reps, n_permute):
+def run_ours_all(reps, n_permute, suffix="ours"):
     from fscl_tpu.engine import (
         PermuteConfig, ScanConfig, prewarm_scan, scan_genome, scan_permute,
     )
@@ -129,7 +129,7 @@ def run_ours_all(reps, n_permute):
     jnp.zeros(8).sum().item()  # absorb device-init tax
     t0 = time.monotonic()
     for i in range(reps):
-        out = DATA / f"rep{i:03d}.ours.tsv"
+        out = DATA / f"rep{i:03d}.{suffix}.tsv"
         if out.exists() and out.stat().st_size:
             continue
         data = load_snp_input(DATA / f"rep{i:03d}.sf")
@@ -147,7 +147,7 @@ def run_ours_all(reps, n_permute):
         result = scan_genome(data, tables, scan_cfg)
         scan_permute(data, tables, result, scan_cfg, pc)
         scan_output(str(out), data, result, n_permute=n_permute)
-        print(f"  ours rep{i:03d}: {time.monotonic()-t0:.1f}s cumulative",
+        print(f"  {suffix} rep{i:03d}: {time.monotonic()-t0:.1f}s cumulative",
               file=sys.stderr)
 
 
@@ -191,7 +191,18 @@ def main():
     ap.add_argument("--ours-only", action="store_true")
     ap.add_argument("--ref-only", action="store_true")
     ap.add_argument("--workers", type=int, default=12)
+    ap.add_argument("--densify", type=int, default=0,
+                    help="A/B variant: override engine STAT_DENSIFY for the "
+                    "ours side; outputs rep*.ours_d<N>.tsv and does NOT "
+                    "update the canonical power_recovery record")
     args = ap.parse_args()
+
+    suffix = "ours"
+    if args.densify:
+        import fscl_tpu.engine.permute as _P
+
+        _P.STAT_DENSIFY = args.densify
+        suffix = f"ours_d{args.densify}"
 
     sweeps = gen_replicates(args.reps)
     if not args.ours_only:
@@ -201,9 +212,9 @@ def main():
                         range(args.reps)))
         print(f"reference side: {time.monotonic()-t0:.0f}s", file=sys.stderr)
     if not args.ref_only:
-        run_ours_all(args.reps, args.permute)
+        run_ours_all(args.reps, args.permute, suffix=suffix)
 
-    ours = collect("ours", args.reps, sweeps)
+    ours = collect(suffix, args.reps, sweeps)
     ref = collect("ref", args.reps, sweeps)
     rec = {
         "reps": args.reps, "n_permute": args.permute,
@@ -211,6 +222,10 @@ def main():
         "at_05": matched_power(ours, ref, 0.05),
         "at_01": matched_power(ours, ref, 0.01),
     }
+    if args.densify:
+        rec["variant"] = f"STAT_DENSIFY={args.densify}"
+        print(json.dumps(rec, indent=1))
+        return
     # merge into headline_results.json
     res = json.loads(RESULTS.read_text()) if RESULTS.exists() else {}
     res["power_recovery"] = rec
