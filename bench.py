@@ -148,6 +148,7 @@ def run_ours():
         point_rounds_per_sec=point_rounds / t_perm,
         n_points=result.n_points,
         max_clr=float(result.clr.max()),
+        chunk_replicates=chunk,
     )
 
 
@@ -205,7 +206,15 @@ def main():
     print(
         json.dumps(
             dict(
-                metric="null-CLR point-rounds/sec (20k-site chr, 1kb grid, 50 perms)",
+                metric=(
+                    "null-CLR point-rounds/sec (20k-site chr, 1kb grid, "
+                    "50 perms"
+                    + (
+                        f", NON-CANONICAL chunk={ours['chunk_replicates']}"
+                        if ours["chunk_replicates"] != 32 else ""
+                    )
+                    + ")"
+                ),
                 value=round(ours["point_rounds_per_sec"], 3),
                 unit="point-rounds/s",
                 vs_baseline=round(vs, 3) if vs is not None else None,

@@ -50,7 +50,15 @@ def parity_cell(rec, prefix="parity_"):
 
 
 def main():
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "4"
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("round_no", nargs="?", default="4")
+    ap.add_argument("--write", action="store_true",
+                    help="splice the table into BASELINE.md between the "
+                    "ROUND<N>_TABLE markers")
+    args = ap.parse_args()
+    rnd = args.round_no
     res = json.loads(RESULTS.read_text())
     bench_files = sorted(REPO.glob("BENCH_r*.json"))
     bench = json.loads(bench_files[-1].read_text()) if bench_files else {}
@@ -129,12 +137,17 @@ def main():
         "|---|---|---|---|---|",
     ] + ["| " + " | ".join(str(c) for c in r) + " |" for r in rows]
     table = "\n".join(lines)
-    if "--write" in sys.argv:
+    if args.write:
         # splice between the ROUND<rnd>_TABLE markers in BASELINE.md
         md = REPO / "BASELINE.md"
         start = f"<!-- ROUND{rnd}_TABLE_START -->"
         end = f"<!-- ROUND{rnd}_TABLE_END -->"
         text = md.read_text()
+        if start not in text or end not in text:
+            sys.exit(
+                f"BASELINE.md has no {start}/{end} markers — add them "
+                f"around the round-{rnd} table before using --write"
+            )
         a, b = text.index(start), text.index(end)
         md.write_text(text[: a + len(start)] + "\n" + table + "\n" + text[b:])
         print(f"wrote table into BASELINE.md between {start}/{end} markers")

@@ -116,7 +116,8 @@ def run_ref_one(i, n_permute):
     return i
 
 
-def run_ours_all(reps, n_permute, suffix="ours"):
+def run_ours_all(reps, n_permute, suffix="ours", hist_alphas=None,
+                 stat_densify=None, hist_positions=None):
     from fscl_tpu.engine import (
         PermuteConfig, ScanConfig, prewarm_scan, scan_genome, scan_permute,
     )
@@ -141,6 +142,12 @@ def run_ours_all(reps, n_permute, suffix="ours"):
         data.attach_model(tables)
         scan_cfg = ScanConfig(small_grid_sp=FINE, large_grid_sp=COARSE)
         pc = PermuteConfig(n_permute=n_permute, chunk_replicates=32, seed=1)
+        if hist_alphas is not None:
+            pc.hist_alphas = hist_alphas
+        if stat_densify is not None:
+            pc.stat_densify = stat_densify
+        if hist_positions is not None:
+            pc.hist_positions = hist_positions
         if i == 0:
             prewarm_scan(data, tables, scan_cfg)
             prewarm_hist_permute(data, tables, scan_cfg, pc)
@@ -195,14 +202,28 @@ def main():
                     help="A/B variant: override engine STAT_DENSIFY for the "
                     "ours side; outputs rep*.ours_d<N>.tsv and does NOT "
                     "update the canonical power_recovery record")
+    ap.add_argument("--positions", type=int, default=0,
+                    help="A/B variant: override PermuteConfig.hist_positions "
+                    "(coarse position anchors per interval; canonical 13)")
+    ap.add_argument("--alphas", type=int, default=0,
+                    help="A/B variant: override PermuteConfig.hist_alphas "
+                    "(the statistic's dense alpha probe count; canonical "
+                    "128).  The round-4 hypothesis is that 128-probe "
+                    "maximization dilutes the statistic's sweep/null "
+                    "separation relative to the C's ~25 effective probes "
+                    "(sm-search.c:276-295); non-canonical record suffix")
     args = ap.parse_args()
 
     suffix = "ours"
+    variant = []
     if args.densify:
-        import fscl_tpu.engine.permute as _P
-
-        _P.STAT_DENSIFY = args.densify
-        suffix = f"ours_d{args.densify}"
+        variant.append(f"d{args.densify}")
+    if args.positions:
+        variant.append(f"p{args.positions}")
+    if args.alphas:
+        variant.append(f"a{args.alphas}")
+    if variant:
+        suffix = "ours_" + "_".join(variant)
 
     sweeps = gen_replicates(args.reps)
     if not args.ours_only:
@@ -212,7 +233,10 @@ def main():
                         range(args.reps)))
         print(f"reference side: {time.monotonic()-t0:.0f}s", file=sys.stderr)
     if not args.ref_only:
-        run_ours_all(args.reps, args.permute, suffix=suffix)
+        run_ours_all(args.reps, args.permute, suffix=suffix,
+                     hist_alphas=args.alphas or None,
+                     stat_densify=args.densify or None,
+                     hist_positions=args.positions or None)
 
     ours = collect(suffix, args.reps, sweeps)
     ref = collect("ref", args.reps, sweeps)
@@ -222,8 +246,12 @@ def main():
         "at_05": matched_power(ours, ref, 0.05),
         "at_01": matched_power(ours, ref, 0.01),
     }
-    if args.densify:
-        rec["variant"] = f"STAT_DENSIFY={args.densify}"
+    if variant:
+        rec["variant"] = suffix
+        # variant arms record under their own key, never the canonical one
+        res = json.loads(RESULTS.read_text()) if RESULTS.exists() else {}
+        res.setdefault("power_recovery_variants", {})[suffix] = rec
+        RESULTS.write_text(json.dumps(res, indent=1, sort_keys=True))
         print(json.dumps(rec, indent=1))
         return
     # merge into headline_results.json

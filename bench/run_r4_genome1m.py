@@ -8,7 +8,7 @@ absorbed, phases timed separately.  Headline (genome1m) first so a
 wall-clock cutoff loses only secondary stages.
 
 Does NOT touch first_run_* keys — those come exclusively from the cold
-persistent-cache protocol (bench/run_r4_first.py).
+persistent-cache protocol (bench/run_r3_first.py, round-independent).
 
 Run EXCLUSIVELY on the axon tunnel:  python bench/run_r4_genome1m.py
 """

@@ -9,7 +9,7 @@
 # or concurrently with the TPU stages; its ours side needs the TPU.
 set -x
 cd "$(dirname "$0")/.."
-python bench/power_recovery.py --ref-only --workers 2 2>>bench/r4_run.log
+python bench/power_recovery.py --ref-only --workers 2 --reps 48 2>>bench/r4_run.log
 python bench/run_r4_genome1m.py 2>>bench/r4_run.log
 python bench/run_r3_first.py 2>>bench/r4_run.log
 python bench.py 2>>bench/r4_run.log
@@ -17,5 +17,5 @@ python bench/headline.py ms_neutral 2>>bench/r4_run.log
 python bench/headline.py ms_sweep 2>>bench/r4_run.log
 python bench/headline.py asc100k --ours-only 2>>bench/r4_run.log
 python bench/headline.py mixed100k --ours-only 2>>bench/r4_run.log
-python bench/power_recovery.py --ours-only 2>>bench/r4_run.log
+python bench/power_recovery.py --ours-only --reps 48 2>>bench/r4_run.log
 python bench/make_round_table.py 4

@@ -107,6 +107,9 @@ class PermuteConfig:
     # scan CLRs always come from the exact f32 lattice kernel
     hist_bf16: bool = True
     hist_positions: int = N_PERM_POS  # per-interval position subgrid
+    stat_densify: int | None = None  # fine-position densification of the
+    # statistic's grid (None = module STAT_DENSIFY); the statistic has
+    # stat_densify*(hist_positions-1)+1 positions per interval
     hist_alphas: int = 128  # dense lattice alpha grid (pitch ~0.19 log-units)
     hist_decimate: int = 8  # lattice decimation for the null statistic:
     # gather volume and matmul width shrink this factor; the run-mean
@@ -219,6 +222,11 @@ class _InterruptState:
             self.requested = False
             if self.dump_fn:
                 self.dump_fn()
+
+
+def stat_positions(cfg: "PermuteConfig") -> int:
+    """Jf: the statistic's fine position-grid size per interval."""
+    return (cfg.stat_densify or STAT_DENSIFY) * (cfg.hist_positions - 1) + 1
 
 
 def perm_positions(istart, iend, n_pos):
@@ -409,7 +417,7 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
             continue
         ctx = _ChrPermContext(
             data, cl, scan_cfg, result, pts,
-            STAT_DENSIFY * (cfg.hist_positions - 1) + 1,
+            stat_positions(cfg),
         )
         chr_ctx.append(ctx)
         # observed thresholds under the identical statistic, in the same
@@ -454,9 +462,7 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
     rep_step = REP_SUB
     if ndev > 1:
         from ..parallel import make_scan_mesh
-        from ..parallel.shard import (
-            gather_to_host, sharded_permute_reps, to_global,
-        )
+        from ..parallel.shard import gather_to_host, to_global
 
         mesh = make_scan_mesh()
         rep_step = REP_SUB * ndev
@@ -517,14 +523,19 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
 
                         if shard_now:
                             last_stats["lattice_sharded_dispatches"] += 1
-                            outs.append(sharded_permute_reps(
-                                mesh, stat_fn,
+                            f = _sharded_lattice_fn(
+                                mesh, G, ctx.chunk, ctx.start, ctx.n,
+                                ctx.w_pad, ctx.eval_range, n_pts_pad, J,
+                            )
+                            outs.append(f(
+                                *packs, row_gen, null_gen,
                                 to_global(
                                     mesh, sigma[r0 : r0 + step_now],
                                     jax.sharding.PartitionSpec(
                                         ("perm", "site")
                                     ),
                                 ),
+                                ctx.pos_pad, cand, lo, hi, ist, ien,
                             ))
                         else:
                             last_stats["lattice_dispatches"] += 1
@@ -738,22 +749,84 @@ def _stack_stat(oh_table, sigma8, seg_g0, seg_off, seg_n, bounds, fbar, t3,
     return out.reshape(n_slices * sub_rep, n_pts)
 
 
-# measured effective rates on the bench TPU (BASELINE.md kernel facts):
-# used only to budget per-dispatch work below the tunnel watchdog
-_HBM_RATE = 5e11  # bytes/s, conservative
-_GATHER_ROWS_RATE = 1.2e8  # bounds-gather rows/s
-_MXU_RATE = 5e12  # effective f32 FLOP/s in the gather-interleaved matmul
-_DISPATCH_TARGET_S = 3.0  # per-dispatch wall target
-_PS_BUDGET = 2_400_000_000  # transient [S*w, P*R] i8/i16 buffer bytes
+@functools.lru_cache(maxsize=None)
+def _sharded_stack_fn(mesh, w_seg_p, n_seg, n_rows, n_cells, n_alpha,
+                      sub_rep, n_slices, n_pts, Jf, mm_bf16):
+    """Jitted shard_map of _stack_stat: replicates shard over the mesh,
+    geometry/tables replicate; zero collectives.  n_slices is the
+    PER-DEVICE slice count (global sigma rows = n_slices*sub_rep*mesh.size).
+    lru-cached on (mesh, dims) so repeat chunks reuse one traced callable
+    and the prewarm path can .lower(...).compile() the exact executable
+    the dispatch path runs (VERDICT r4 item 5)."""
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    spec = P(("perm", "site"))
+
+    def local(oh_table, sig, seg_g0, seg_off, seg_n, bounds, fbar, t3):
+        return _stack_stat(
+            oh_table, sig, seg_g0, seg_off, seg_n, bounds, fbar, t3,
+            w_seg_p=w_seg_p, n_seg=n_seg, n_rows=n_rows, n_cells=n_cells,
+            n_alpha=n_alpha, sub_rep=sub_rep, n_slices=n_slices,
+            n_pts=n_pts, Jf=Jf, mm_bf16=mm_bf16,
+        )
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, spec, rep, rep, rep, rep, rep, rep),
+        out_specs=spec,
+    ))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_lattice_fn(mesh, grid_points, chunk, start, n, w_pad,
+                        eval_range, n_pts, J):
+    """Jitted shard_map of _permute_batch_chr (lattice fallback path):
+    sigma shards over the flattened mesh, everything else replicates."""
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    spec = P(("perm", "site"))
+
+    def local(pack_coarse, pack_fine, m_coarse, m_fine,
+              row_gen, null_gen, sigma, pos_pad, cand, lo, hi, ist, ien):
+        return _permute_batch_chr(
+            pack_coarse, pack_fine, m_coarse, m_fine,
+            row_gen, null_gen, sigma, pos_pad, cand, lo, hi, ist, ien,
+            grid_points=grid_points, chunk=chunk, start=start, n=n,
+            w_pad=w_pad, eval_range=eval_range, n_pts=n_pts, J=J,
+        )
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, spec,
+                  rep, rep, rep, rep, rep, rep),
+        out_specs=spec,
+    ))
+
+
+# effective device rates for dispatch budgeting: resolved once per
+# process by utils/calibrate.py — env overrides > per-device-kind
+# calibration cache > one-shot micro-measurement on unknown device kinds
+# > the bench-TPU defaults (BASELINE.md kernel facts).  Used only to
+# budget per-dispatch work below the tunnel watchdog; results are
+# independent of the rates (only dispatch slicing changes).
+
+
+def _budget_rates():
+    from ..utils.calibrate import get_rates
+
+    return get_rates()
 
 
 def _sub_rep_for(ht, n_seg_pad, w_seg_p):
     """Largest replicate slice whose transient [S*w, P*R] buffers fit
     (compressed weight channels are f32, 2x the int16 one-hot bytes)."""
+    ps_budget = _budget_rates()["ps_budget"]
     bpe = 4 if ht.weights is not None else 2
     p = HIST_REP_SUB * 2
     while p > 1 and (
-        n_seg_pad * w_seg_p * p * ht.n_rows * bpe > _PS_BUDGET
+        n_seg_pad * w_seg_p * p * ht.n_rows * bpe > ps_budget
     ):
         p //= 2
     return p
@@ -764,6 +837,7 @@ def _slice_cost_for(ht, n_seg_pad, w_seg_p, n_pts_pad, Jf, sub_rep):
 
     Pure function of the dispatch dims so the shape-warming predictor
     (utils/precompile.py) reproduces the driver's slice plan exactly."""
+    r = _budget_rates()
     bpe = 4 if ht.weights is not None else 2
     ps_bytes = n_seg_pad * w_seg_p * sub_rep * ht.n_rows * (bpe + 3)
     rows = n_pts_pad * Jf * 2 * (ht.n_cells + 1)
@@ -773,15 +847,16 @@ def _slice_cost_for(ht, n_seg_pad, w_seg_p, n_pts_pad, Jf, sub_rep):
         * 2 * ht.n_cells * ht.n_rows * 2
     )
     return (
-        ps_bytes / _HBM_RATE
-        + max(rows / _GATHER_ROWS_RATE, gbytes / _HBM_RATE)
-        + flops / _MXU_RATE
+        ps_bytes / r["hbm_rate"]
+        + max(rows / r["gather_rows_rate"], gbytes / r["hbm_rate"])
+        + flops / r["mxu_rate"]
     )
 
 
 def _plan_m(slice_cost_s):
     """Replicate slices fused per dispatch (power of 2, wall-targeted)."""
-    m = max(1, int(_DISPATCH_TARGET_S / max(slice_cost_s, 1e-4)))
+    target = _budget_rates()["dispatch_target_s"]
+    m = max(1, int(target / max(slice_cost_s, 1e-4)))
     return 1 << (m.bit_length() - 1)
 
 
@@ -937,7 +1012,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     """
     rng = np.random.default_rng(cfg.seed)
     key0 = jax.random.key(cfg.seed)
-    Jf = STAT_DENSIFY * (cfg.hist_positions - 1) + 1
+    Jf = stat_positions(cfg)
 
     import time as _time
 
@@ -1046,9 +1121,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     rep_step = HIST_REP_SUB
     if ndev > 1:
         from ..parallel import make_scan_mesh
-        from ..parallel.shard import (
-            gather_to_host, sharded_hist_permute, to_global,
-        )
+        from ..parallel.shard import gather_to_host, to_global
 
         mesh = make_scan_mesh()
         rep_step = HIST_REP_SUB * ndev
@@ -1118,22 +1191,42 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     _geom_key = (ht.n_cells, ht.n_rows, ht.n_alpha, Jf, cfg.hist_bf16,
                  n_sig_pad, str(oh_table.dtype))
 
-    def _stack_key(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices):
+    def _stack_key(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
+                   sharded=False):
         return ("stack", w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
-                _geom_key)
+                _geom_key) + (("sharded",) if sharded else ())
 
-    def _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices):
-        key = _stack_key(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices)
+    def _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
+                    sharded=False):
+        key = _stack_key(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
+                         sharded)
 
         def fn():
             i32 = jnp.int32
             seg = _sds((n_seg_pad,), i32)
+            b_sds = _sds((n_pts_pad * Jf, 2, ht.n_cells + 1), i32)
+            f_sds = _sds((n_pts_pad * Jf, 2, ht.n_cells), jnp.float32)
+            if sharded:
+                # warm the EXACT jitted shard_map callable the sharded
+                # dispatch runs (lru-cached on (mesh, dims)): lowering with
+                # the GLOBAL sigma shape compiles the SPMD executable into
+                # the same jit cache the dispatch hits (VERDICT r4 item 5)
+                f = _sharded_stack_fn(
+                    mesh, w_seg_p, n_seg_pad, ht.n_rows, ht.n_cells,
+                    ht.n_alpha, sub_rep, n_slices, n_pts_pad, Jf,
+                    cfg.hist_bf16,
+                )
+                f.lower(
+                    _oh_sds,
+                    _sds((n_slices * sub_rep * mesh.size, n_sig_pad),
+                         jnp.int32),
+                    seg, seg, seg, b_sds, f_sds, _t3_sds,
+                ).compile()
+                return
             _stack_stat.lower(
                 _oh_sds,
                 _sds((n_slices * sub_rep, n_sig_pad), jnp.int32),
-                seg, seg, seg,
-                _sds((n_pts_pad * Jf, 2, ht.n_cells + 1), i32),
-                _sds((n_pts_pad * Jf, 2, ht.n_cells), jnp.float32),
+                seg, seg, seg, b_sds, f_sds,
                 _t3_sds,
                 w_seg_p=w_seg_p, n_seg=n_seg_pad, n_rows=ht.n_rows,
                 n_cells=ht.n_cells, n_alpha=ht.n_alpha, sub_rep=sub_rep,
@@ -1180,7 +1273,8 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         once all are compiled (failures count — the jit path then
         compiles synchronously, the pre-warming behavior)."""
         keys = [
-            _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, d)
+            _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, d,
+                        sharded=nshard > 1)
             for d in set(_plan_stack(w_seg_p, n_seg_pad, n_pts_pad,
                                      sub_rep, R, nshard))
         ]
@@ -1236,6 +1330,23 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             n_pts=st.n_pts_pad, Jf=Jf, mm_bf16=cfg.hist_bf16,
         )
 
+    def _stat_call_sharded(st, sig_global, n_slices):
+        """Sharded chunk dispatch through the lru-cached shard_map
+        callable; n_slices is the per-device slice count."""
+        key = _stack_key(
+            st.w_seg_p, st.n_seg_pad, st.n_pts_pad, st.sub_rep, n_slices,
+            sharded=True,
+        )
+        if warm.known(key):
+            warm.wait(key)
+        f = _sharded_stack_fn(
+            mesh, st.w_seg_p, st.n_seg_pad, ht.n_rows, ht.n_cells,
+            ht.n_alpha, st.sub_rep, n_slices, st.n_pts_pad, Jf,
+            cfg.hist_bf16,
+        )
+        return f(oh_table, sig_global, st.seg_g0, st.seg_off, st.seg_n,
+                 st.bounds, st.fbar, ht.t3)
+
     # observed thresholds under the identical statistic: sigma = identity
     _t0 = _time.monotonic()
     threshold = np.zeros(K)
@@ -1249,7 +1360,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         # their threshold, and building 10k-point geometry to serve a
         # 22-point tail made setup ~10x slower than needed
         pts_by = _active_by_chr(st, active)
-        if mesh is None and pts_by:
+        if pts_by:
             # the pipeline prewarm submitted these geometry programs;
             # block on any in flight rather than compiling duplicates
             n_cp0 = _pad_pow2(
@@ -1261,25 +1372,34 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         # warm the threshold + first-chunk programs (and the sigma
         # generator) on the background pool: thresholds for later stacks
         # compile in parallel with the first stack's, and the first
-        # chunk's dispatches become cache hits
+        # chunk's dispatches become cache hits.  Under a mesh the rung
+        # warms compile the jitted shard_map executables when the chunk's
+        # replicate padding rule says the dispatch will shard, and the
+        # local programs otherwise — mirroring the dispatch loop's
+        # shard_now decision exactly (VERDICT r4 item 5: pod runs used to
+        # pay every one of these compiles foreground).
+        shard0 = (
+            mesh is not None and -(-R0 // rep_step) * rep_step <= 2 * R0
+        )
+        nshard0 = ndev if shard0 else 1
         _warm_stack(st.w_seg_p, st.n_seg_pad, st.n_pts_pad, 1, 1)
-        if mesh is None:
-            _warm_rung(st.w_seg_p, st.n_seg_pad, st.n_pts_pad, st.sub_rep,
-                       R0)
-            # pruning kills most points within the first few chunks
-            # (>=20 exceedances come fast for null-like intervals), so
-            # the first halving rungs of the point-bucket ladder WILL be
-            # needed shortly — compile them now, in likely-use order,
-            # while the early chunks run on the setup geometry
-            p = st.n_pts_pad
-            n_cp0 = -(-p // max(len(st.segs), 1))
-            for _ in range(4):
-                p = max(p // 2, 4)
-                n_cp0 = max(n_cp0 // 2, 4)
-                _warm_rung(st.w_seg_p, st.n_seg_pad, p, st.sub_rep, R0)
-                _warm_points_for(st, _pad_pow2(n_cp0, minimum=4))
-                if p == 4:
-                    break
+        _warm_rung(st.w_seg_p, st.n_seg_pad, st.n_pts_pad, st.sub_rep,
+                   R0, nshard0)
+        # pruning kills most points within the first few chunks
+        # (>=20 exceedances come fast for null-like intervals), so
+        # the first halving rungs of the point-bucket ladder WILL be
+        # needed shortly — compile them now, in likely-use order,
+        # while the early chunks run on the setup geometry
+        p = st.n_pts_pad
+        n_cp0 = -(-p // max(len(st.segs), 1))
+        for _ in range(4):
+            p = max(p // 2, 4)
+            n_cp0 = max(n_cp0 // 2, 4)
+            _warm_rung(st.w_seg_p, st.n_seg_pad, p, st.sub_rep, R0,
+                       nshard0)
+            _warm_points_for(st, _pad_pow2(n_cp0, minimum=4))
+            if p == 4:
+                break
     _warm_sigma(R_gen * b0 + q_max)
     for st in stacks:
         sub_save, st.sub_rep = st.sub_rep, 1
@@ -1418,17 +1538,15 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                         Rd = d * q
                         sig = sigma_p[r0 : r0 + Rd]
                         if shard_now:
-                            outs_slices.append(sharded_hist_permute(
-                                mesh,
-                                functools.partial(
-                                    _stat_call, st, n_slices=d
-                                ),
+                            outs_slices.append(_stat_call_sharded(
+                                st,
                                 to_global(
                                     mesh, sig,
                                     jax.sharding.PartitionSpec(
                                         ("perm", "site")
                                     ),
                                 ),
+                                d,
                             ))
                             last_stats["hist_sharded_dispatches"] += 1
                         else:
@@ -1482,25 +1600,30 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 # count is within reach of a boost threshold, compile the
                 # bigger replicate layouts (and sigma program) ahead of the
                 # jump so the transition chunk pays a cache hit, not a compile
-                if mesh is None:
-                    n_act_now = int(active.sum())
-                    b_next = _boost(
-                        max(n_act_now // 4, 1),
-                        rounds_done + cfg.chunk_replicates,
+                n_act_now = int(active.sum())
+                b_next = _boost(
+                    max(n_act_now // 4, 1),
+                    rounds_done + cfg.chunk_replicates,
+                )
+                if b_next > boost and n_act_now:
+                    R_next = min(cfg.chunk_replicates * b_next,
+                                 max(cfg.n_permute - rounds_done, 1))
+                    shard_next = (
+                        mesh is not None
+                        and -(-R_next // rep_step) * rep_step <= 2 * R_next
                     )
-                    if b_next > boost and n_act_now:
-                        R_next = min(cfg.chunk_replicates * b_next,
-                                     max(cfg.n_permute - rounds_done, 1))
-                        _warm_sigma(R_gen * b_next + q_max)
-                        for st in stacks:
-                            if st.pts is None or not active[st.pts].any():
-                                continue
-                            pred = st.predict_shape(result, active)
-                            if pred is not None:
-                                _warm_rung(st.w_seg_p, pred[0], pred[1],
-                                           pred[2], R_next)
-                                _warm_rung(st.w_seg_p, st.n_seg_pad,
-                                           st.n_pts_pad, st.sub_rep, R_next)
+                    nshard_next = ndev if shard_next else 1
+                    _warm_sigma(R_gen * b_next + q_max)
+                    for st in stacks:
+                        if st.pts is None or not active[st.pts].any():
+                            continue
+                        pred = st.predict_shape(result, active)
+                        if pred is not None:
+                            _warm_rung(st.w_seg_p, pred[0], pred[1],
+                                       pred[2], R_next, nshard_next)
+                            _warm_rung(st.w_seg_p, st.n_seg_pad,
+                                       st.n_pts_pad, st.sub_rep, R_next,
+                                       nshard_next)
 
                 logmsg(
                     MSG_DEBUG, "hist round chunk of %d: %.1fs", R,
@@ -1558,8 +1681,14 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
     )
     if not (hist_supported(len(rows_used), max_n) and geom_ok):
         return None
-    if jax.device_count() > 1:  # sharded dispatches bypass the warm cache
-        return None
+    ndev = jax.device_count()
+    mesh = None
+    if ndev > 1:
+        # sharded dispatches go through the lru-cached jitted shard_map
+        # callables (_sharded_stack_fn) — warm those with GLOBAL shapes
+        from ..parallel import make_scan_mesh
+
+        mesh = make_scan_mesh()
 
     from .scan import make_scan_hist_tables
 
@@ -1568,7 +1697,7 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
     )
     if ht is None:
         return None
-    Jf = STAT_DENSIFY * (cfg.hist_positions - 1) + 1
+    Jf = stat_positions(cfg)
     n_rows = ht.n_rows
     W = int(data.n_snps)
     n_groups = -(-W // PERM_GROUP) if W else 1
@@ -1600,17 +1729,32 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
     _geom_key = (ht.n_cells, n_rows, ht.n_alpha, Jf, cfg.hist_bf16,
                  n_sig_pad, str(jnp.dtype(oh_dt)))
 
-    def _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices):
+    def _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
+                    sharded=False):
         def fn():
             i32 = jnp.int32
             seg = _sds((n_seg_pad,), i32)
+            oh_sds = _sds((n_groups + 1, oh_cols), oh_dt)
+            b_sds = _sds((n_pts_pad * Jf, 2, ht.n_cells + 1), i32)
+            f_sds = _sds((n_pts_pad * Jf, 2, ht.n_cells), jnp.float32)
+            t3_sds = _sds(ht.t3.shape, ht.t3.dtype)
+            if sharded:
+                f = _sharded_stack_fn(
+                    mesh, w_seg_p, n_seg_pad, n_rows, ht.n_cells,
+                    ht.n_alpha, sub_rep, n_slices, n_pts_pad, Jf,
+                    cfg.hist_bf16,
+                )
+                f.lower(
+                    oh_sds,
+                    _sds((n_slices * sub_rep * mesh.size, n_sig_pad),
+                         jnp.int32),
+                    seg, seg, seg, b_sds, f_sds, t3_sds,
+                ).compile()
+                return
             _stack_stat.lower(
-                _sds((n_groups + 1, oh_cols), oh_dt),
+                oh_sds,
                 _sds((n_slices * sub_rep, n_sig_pad), jnp.int32),
-                seg, seg, seg,
-                _sds((n_pts_pad * Jf, 2, ht.n_cells + 1), i32),
-                _sds((n_pts_pad * Jf, 2, ht.n_cells), jnp.float32),
-                _sds(ht.t3.shape, ht.t3.dtype),
+                seg, seg, seg, b_sds, f_sds, t3_sds,
                 w_seg_p=w_seg_p, n_seg=n_seg_pad, n_rows=n_rows,
                 n_cells=ht.n_cells, n_alpha=ht.n_alpha, sub_rep=sub_rep,
                 n_slices=n_slices, n_pts=n_pts_pad, Jf=Jf,
@@ -1619,7 +1763,7 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
 
         warm.submit(
             ("stack", w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
-             _geom_key),
+             _geom_key) + (("sharded",) if sharded else ()),
             fn,
         )
 
@@ -1684,7 +1828,14 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
     b0 = _boost_levels(K, n_groups, cfg)[0]
     R_gen = -(-cfg.chunk_replicates // HIST_REP_SUB) * HIST_REP_SUB
     R0 = min(cfg.chunk_replicates * b0, max(cfg.n_permute, 1))
-    _warm_sigma_pre(R_gen * b0 + 2 * HIST_REP_SUB)
+    # mirror the driver's shard_now decision for the first chunk: warm
+    # sharded executables only when the replicate padding rule says the
+    # dispatch will actually shard
+    rep_step = HIST_REP_SUB * (ndev if mesh is not None else 1)
+    shard0 = mesh is not None and -(-R0 // rep_step) * rep_step <= 2 * R0
+    nshard0 = ndev if shard0 else 1
+    q_max_pre = 2 * HIST_REP_SUB * (ndev if mesh is not None else 1)
+    _warm_sigma_pre(R_gen * b0 + q_max_pre)
     for w_seg_p, segs in sorted(by_len.items()):
         S_pad = _ladder_pad(len(segs))
         n_pts = sum(n for _, n in segs)
@@ -1701,13 +1852,15 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
             geo.add((w_pad, nb_pad))
         n_cp = _pad_pow2(max((n for _, n in segs), default=1), minimum=4)
         p = n_pts_pad
+        q0 = sub_rep * nshard0
         for rung in range(5):
             for d in set(_plan_ds(
-                (-(-R0 // sub_rep) * sub_rep) // sub_rep,
+                (-(-R0 // q0) * q0) // q0,
                 _plan_m(_slice_cost_for(ht, S_pad, w_seg_p, p, Jf,
                                         sub_rep)),
             )):
-                _warm_stack(w_seg_p, S_pad, p, sub_rep, d)
+                _warm_stack(w_seg_p, S_pad, p, sub_rep, d,
+                            sharded=nshard0 > 1)
             if qb is not None:
                 for w_pad, nb_pad in geo:
                     _warm_points(w_pad, nb_pad, n_cp)

@@ -616,6 +616,13 @@ class _FusedHistEval:
                 pad -= bounds.shape[0]
                 bounds = jnp.pad(bounds, ((0, pad), (0, 0), (0, 0)))
                 fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
+            if self.warm is not None:
+                w_pad = max(-(-st.cl.n_snps // 4096) * 4096, 4096)
+                key = _sharded_fused_key(
+                    ht, c_pad, w_pad, self.mod16, self.mm_bf16, self.mesh
+                )
+                if self.warm.known(key):
+                    self.warm.wait(key)
             return sharded_hist_eval(
                 self.mesh, ht, bounds, fbar, row_c,
                 ps_mod16=self.mod16, mm_bf16=self.mm_bf16,
@@ -753,6 +760,13 @@ def _fused_program_key(ht, c_pad, w_pad, c_sub, ps_mod16, mm_bf16=False):
             ht.n_alpha, c_sub, ps_mod16, ht.weights is not None, mm_bf16)
 
 
+def _sharded_fused_key(ht, c_pad, w_pad, ps_mod16, mm_bf16, mesh):
+    """Warm key for the sharded scan-stage program (hist_eval_fn)."""
+    return ("scan-histclr-sharded", -(-c_pad // mesh.size) * mesh.size,
+            w_pad, ht.n_cells, ht.n_rows, ht.n_alpha, ps_mod16,
+            ht.weights is not None, mm_bf16)
+
+
 def _snp_probe_positions(data, tables, st, cfg, row_gain=None):
     """SNP-anchored probe positions for one chromosome (owner-filtered)."""
     if row_gain is None:
@@ -789,8 +803,19 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
     from ..ops.histclr import _SLAB_K, _device_points, hist_geometry_ok
     from ..utils.precompile import Precompiler
 
-    if not cfg.use_hist or jax.device_count() > 1:
+    if not cfg.use_hist:
         return None
+    mesh = None
+    if jax.device_count() > 1:
+        # mesh runs dispatch the scan stages through the lru-cached jitted
+        # shard_map callables (parallel/shard.py hist_eval_fn) — warm those
+        # with the same global shapes the dispatch path will use, so a cold
+        # pod run compiles its sharded stage programs on the background
+        # pool concurrently instead of serially foreground (VERDICT r4
+        # item 5)
+        from ..parallel import make_scan_mesh
+
+        mesh = make_scan_mesh()
     rows_used = np.unique(np.asarray(data.row))
     max_n = max((cl.n_snps for cl in data.chr_limits), default=0)
     if not (
@@ -830,6 +855,36 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
     c_sub = getattr(cfg, "hist_c_sub", 256)
 
     def _warm_fused(ht_x, c_pad, w_pad, mod16, mm_bf16):
+        if mesh is not None:
+            key = _sharded_fused_key(ht_x, c_pad, w_pad, mod16, mm_bf16,
+                                     mesh)
+
+            def fn():
+                from ..parallel.shard import hist_eval_fn
+
+                NC = ht_x.n_cells
+                c_pad_m = -(-c_pad // mesh.size) * mesh.size
+                has_w = ht_x.weights is not None
+                f = hist_eval_fn(
+                    mesh, NC, ht_x.n_rows, ht_x.n_alpha, 64, mod16,
+                    mm_bf16, has_w,
+                )
+                args = [
+                    _sds(ht_x.t3.shape, ht_x.t3.dtype),
+                    _sds((c_pad_m, 2, NC + 1), jnp.int32),
+                    _sds((c_pad_m, 2, NC), jnp.float32),
+                    _sds((w_pad,), jnp.int32),
+                    _sds((ht_x.n_alpha,), jnp.float32),
+                ]
+                if has_w:
+                    args.append(
+                        _sds(ht_x.weights.shape, ht_x.weights.dtype)
+                    )
+                f.lower(*args).compile()
+
+            warm.submit(key, fn)
+            return
+
         key = _fused_program_key(ht_x, c_pad, w_pad, c_sub, mod16,
                                  mm_bf16)
 
@@ -928,9 +983,12 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
 
             warm.submit(key, fn)
 
-    _warm_ps(ht, mod16)
-    if ht1 is not None and ht1.weights is not None:
-        _warm_ps(ht1, mod16_1)  # one-hot ps is shared; compressed is not
+    if mesh is None:
+        # the sharded stage path builds prefix sums inside hist_clr
+        # (no hoisting), so the ps programs are single-device-only
+        _warm_ps(ht, mod16)
+        if ht1 is not None and ht1.weights is not None:
+            _warm_ps(ht1, mod16_1)  # one-hot ps shared; compressed is not
 
     # dense stage: exact flat sizes (grid + SNP probes)
     dense_sizes = []

