@@ -52,7 +52,9 @@ REF_BIN = REPO / "bench" / "fscl_ref"
 MB = 20.0
 N = 50
 DENSITY = 1.0
-ALPHA = 3e-5
+ALPHA = 3e-5  # canonical: broad ~1.8 Mb sweeps; --sweep-alpha overrides
+# (narrow-sweep arms guard statistic-grid changes against the strong-sweep
+# regime, where the C's adaptive bisection could out-resolve a coarse grid)
 N_SWEEPS = 4
 COARSE = 100_000
 FINE = 1000
@@ -202,6 +204,11 @@ def main():
                     help="A/B variant: override engine STAT_DENSIFY for the "
                     "ours side; outputs rep*.ours_d<N>.tsv and does NOT "
                     "update the canonical power_recovery record")
+    ap.add_argument("--sweep-alpha", type=float, default=0.0,
+                    help="planted sweep strength (canonical 3e-5); a "
+                    "non-canonical value uses its own dataset dir "
+                    "power_a<val> and records under "
+                    "power_recovery_variants")
     ap.add_argument("--positions", type=int, default=0,
                     help="A/B variant: override PermuteConfig.hist_positions "
                     "(coarse position anchors per interval; canonical 13)")
@@ -214,8 +221,13 @@ def main():
                     "(sm-search.c:276-295); non-canonical record suffix")
     args = ap.parse_args()
 
+    global ALPHA, DATA
     suffix = "ours"
     variant = []
+    if args.sweep_alpha and args.sweep_alpha != ALPHA:
+        ALPHA = args.sweep_alpha
+        DATA = REPO / "bench" / "data" / f"power_a{args.sweep_alpha:g}"
+        variant.append(f"alpha{args.sweep_alpha:g}")
     if args.densify:
         variant.append(f"d{args.densify}")
     if args.positions:
