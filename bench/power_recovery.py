@@ -105,9 +105,15 @@ def parse_tsv(path):
     return pos, p
 
 
+def _ptag(n_permute):
+    """Output-file tag: non-default permutation counts get their own
+    artifacts (a p100 TSV must never be reused for a p1000 record)."""
+    return "" if n_permute == 100 else f"_p{n_permute}"
+
+
 def run_ref_one(i, n_permute):
     path = DATA / f"rep{i:03d}.sf"
-    out = DATA / f"rep{i:03d}.ref.tsv"
+    out = DATA / f"rep{i:03d}.ref{_ptag(n_permute)}.tsv"
     if not out.exists() or not out.stat().st_size:
         subprocess.run(
             [str(REF_BIN), "-f", str(path), "-o", str(out),
@@ -222,7 +228,7 @@ def main():
     args = ap.parse_args()
 
     global ALPHA, DATA
-    suffix = "ours"
+    suffix = "ours" + _ptag(args.permute)
     variant = []
     if args.sweep_alpha and args.sweep_alpha != ALPHA:
         ALPHA = args.sweep_alpha
@@ -235,7 +241,7 @@ def main():
     if args.alphas:
         variant.append(f"a{args.alphas}")
     if variant:
-        suffix = "ours_" + "_".join(variant)
+        suffix = "ours" + _ptag(args.permute) + "_" + "_".join(variant)
 
     sweeps = gen_replicates(args.reps)
     if not args.ours_only:
@@ -251,7 +257,7 @@ def main():
                      hist_positions=args.positions or None)
 
     ours = collect(suffix, args.reps, sweeps)
-    ref = collect("ref", args.reps, sweeps)
+    ref = collect("ref" + _ptag(args.permute), args.reps, sweeps)
     rec = {
         "reps": args.reps, "n_permute": args.permute,
         "config": f"{MB:.0f}Mb n={N} {N_SWEEPS} sweeps alpha={ALPHA}",
@@ -266,9 +272,16 @@ def main():
         RESULTS.write_text(json.dumps(res, indent=1, sort_keys=True))
         print(json.dumps(rec, indent=1))
         return
-    # merge into headline_results.json
+    # merge into headline_results.json; non-default permutation counts
+    # record under their own key (VERDICT r4 item 9: confirm the 0.01
+    # parity conclusion at production n_permute without overwriting the
+    # canonical n=100 record)
+    key = (
+        "power_recovery" if args.permute == 100
+        else f"power_recovery_n{args.permute}"
+    )
     res = json.loads(RESULTS.read_text()) if RESULTS.exists() else {}
-    res["power_recovery"] = rec
+    res[key] = rec
     RESULTS.write_text(json.dumps(res, indent=1, sort_keys=True))
     print(json.dumps(rec, indent=1))
 

@@ -114,11 +114,16 @@ class ScanConfig:
     # dense_stride) bp in the dense stage instead of every fine-grid
     # cell; the refine rounds re-cover positions down to sub-bp_resl
     # pitch either way.  Stride 2 halves the dense stage's bounds-gather
-    # volume (genome-scale scan 9.9 s vs 11 s) but measured 1-2 deficit
-    # intervals of 10,010 vs the reference's bisection at genome scale
-    # (max 0.87 CLR, just past the 0.5+2% parity band) even with widened
-    # branches — so the DEFAULT keeps the full -g grid; set 2 when a
-    # sub-CLR-unit selection tail is acceptable for the speed.
+    # volume (genome-scale scan 9.6 s vs 12.3 s) but drops 1-2 of 10,010
+    # intervals by up to 0.87 CLR vs the reference's bisection.  The
+    # round-5 A/B (bench/exp_stride2.py) shows the deficit is
+    # STRUCTURAL, not a branch-pool tuning issue: widening branch_k to
+    # 14 / branch_margin to 6 / snp_probe_min_gain to 0.1 leaves the
+    # same 0.87 max deficit while costing back all of the speed
+    # (12.7-16.5 s) — the missed maxima sit at positions the strided
+    # grid never evaluates and no probed branch reaches.  The DEFAULT
+    # therefore keeps the full -g grid; set 2 only when a sub-CLR-unit
+    # selection tail is acceptable for the speed.
     dense_stride: int = 1
     # bfloat16 contraction for the SELECTION stages (dense + refine);
     # the ~0.4% rounding is far inside branch/tie margins, reported
