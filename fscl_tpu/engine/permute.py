@@ -16,11 +16,13 @@ the permuted attribute gather, the position zoom, and the window geometry all
 on device.  The host only updates exceedance counts and pruning masks between
 chunks (data-dependent termination stays on host, compute stays compiled).
 
-Test statistic: per coarse interval, max CLR over a FIXED fine position grid
-(default 49 points — denser than the ~12 positions the C bisection probes,
-scan-chromosome.c:103-139) x the alpha grid.  A fixed dense grid (rather
-than an adaptive zoom) keeps every gather index replicate-invariant, which
-is what lets the histogram kernel stack all replicates into the gather
+Test statistic: per coarse interval, max CLR over a FIXED position grid
+(default 7 points — deliberately COARSE, see N_PERM_POS below: broad sweep
+signals survive a coarse grid, spiky null maxima do not, and the measured
+detection power at matched FPR is within ~1% of the C's adaptive-bisection
+estimand, scan-chromosome.c:103-139) x a 32-probe alpha grid.  A fixed grid
+(rather than an adaptive zoom) keeps every gather index replicate-invariant,
+which is what lets the histogram kernel stack all replicates into the gather
 width (ops/histclr.py hist_clr_reps); it also removes the zoom's greedy
 selection noise.  The identical functional is applied to the observed data
 (the exceedance thresholds are re-derived at permutation setup) and to every
@@ -59,10 +61,20 @@ from .scan import _pad_pow2, _pad_sites
 
 CLR_NULL_DIST_SAVE = 10000  # scan-chromosome.c:227
 PRUNE_THRESHOLD = 20  # scan-chromosome.c:490
-N_PERM_POS = 13  # coarse anchor count; the statistic's fine grid has
-# STAT_DENSIFY*(N_PERM_POS-1)+1 positions per interval (49 by default,
-# ~2 kb pitch on 100 kb intervals — denser than the C bisection's probes)
-STAT_DENSIFY = 4
+N_PERM_POS = 7  # coarse anchor count; the statistic's fine grid has
+# STAT_DENSIFY*(N_PERM_POS-1)+1 positions per interval (7 by default,
+# ~16.7 kb pitch on 100 kb intervals).  DELIBERATELY COARSE (round 5):
+# sweep signals are broad (footprint ~e^LOG_AD_MAX/alpha bp, hundreds of
+# kb to Mb), so a coarse grid still captures the observed peak, while
+# null-landscape maxima are spiky and a dense grid inflates them — the
+# same asymmetry the C's greedy bisection exploits implicitly by
+# undershooting noise maxima (scan-chromosome.c:103-139).  Measured
+# (bench/power_recovery.py, 48 reps, matched empirical FPR): 49-point
+# grid cost 6.5% detection power at the 0.05 operating point vs the C;
+# 13 points cost 3.1%; 7 points cost 1.1% at 0.05 and GAINED 5.8% at
+# 0.01 (PARITY.md round-5 power section).  The alpha-probe count was
+# A/B'd separately and does not move power (128 vs 32 identical).
+STAT_DENSIFY = 1
 POINT_BUCKET = 64  # scan points per dispatch (lattice fallback path)
 REP_SUB = 8  # replicates per dispatch (one compiled shape)
 HIST_REP_SUB = 16  # replicates per dispatch on the histogram fast path
@@ -70,6 +82,17 @@ HIST_POINT_BUCKET = 256  # scan points per hist dispatch: larger buckets
 # amortize the per-chromosome prefix-sum build and per-dispatch overheads;
 # bounds/fbar stay ~18 MB at 256 points x 49 fine candidates
 HIST_COMPACT = True  # rebuild point buckets as pruning empties them
+# Run-decomposed permuted-prefix (RDP) tail path: when the active bound
+# set is far smaller than the live genome, each replicate's permuted
+# prefix is assembled at the bounds from two precomputed tables
+# (ops/histclr.py rdp_clr_reps) instead of materializing the permuted
+# one-hot stream — per-replicate cost scales with bounds, not sites.
+# "auto" switches by the cost rule below; "on"/"off" force (tests, A/B).
+RDP_FORCE = __import__("os").environ.get("FSCL_RDP", "auto")
+# auto rule: RDP when 2 * active-bound entries < live sites — two row
+# gathers per (bound, replicate) vs the stacked path's per-site stream
+# build (gather + prefix + transposes), both row-rate-bound in practice
+RDP_BOUNDS_FACTOR = 2
 # Per-chunk sigma footprint cap (elements): bounds chunk_replicates x boost
 # so a single chunk's permutation stream stays inside the envelope the
 # tunnel worker demonstrably survives.  2048-replicate chunks at genome
@@ -110,7 +133,10 @@ class PermuteConfig:
     stat_densify: int | None = None  # fine-position densification of the
     # statistic's grid (None = module STAT_DENSIFY); the statistic has
     # stat_densify*(hist_positions-1)+1 positions per interval
-    hist_alphas: int = 128  # dense lattice alpha grid (pitch ~0.19 log-units)
+    hist_alphas: int = 32  # lattice alpha probes for the statistic
+    # (pitch ~0.77 log-units): the 128-vs-32 power A/B measured IDENTICAL
+    # detection (alpha profiles are smooth, so a 4x coarser max changes
+    # nothing statistically) and the statistic matmul is 4x narrower
     hist_decimate: int = 8  # lattice decimation for the null statistic:
     # gather volume and matmul width shrink this factor; the run-mean
     # interpolation error grows to ~1 CLR unit at 8 (identical functional
@@ -368,6 +394,7 @@ def scan_permute(data, tables, result, scan_cfg, cfg: PermuteConfig,
         hist_deferred_rebuilds=0,
         lattice_dispatches=0,
         lattice_sharded_dispatches=0,
+        rdp_dispatches=0,
     )
     if cfg.use_hist:
         from ..ops.histclr import hist_geometry_ok
@@ -745,6 +772,48 @@ def _stack_stat(oh_table, sigma8, seg_g0, seg_off, seg_n, bounds, fbar, t3,
 
     out = jax.lax.map(
         one_slice, sigma8.reshape(n_slices, sub_rep, n_sig)
+    )
+    return out.reshape(n_slices * sub_rep, n_pts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_cells", "n_rows", "n_alpha", "pg", "sub_rep", "n_slices",
+        "n_pts", "Jf", "mm_bf16",
+    ),
+)
+def _rdp_stat(t3, bounds_gen, fbar, psite, src, dst, sz,
+              *, n_cells, n_rows, n_alpha, pg, sub_rep, n_slices, n_pts,
+              Jf, mm_bf16=False):
+    """Statistic maxima via the run-decomposed prefix; [R, n_pts].
+
+    src/dst/sz: [n_slices*sub_rep, B] group-level runs
+    (ops/permute.py block_permutation_runs).  bounds_gen: [n_pts*Jf, 2,
+    NC+1] genome-site bounds.  Same statistic functional as _stack_stat
+    (identical window counts -> identical contraction), dispatched as an
+    inner lax.map over replicate slices.
+    """
+    from ..ops.histclr import rdp_clr_reps
+
+    B = src.shape[1]
+
+    def one_slice(args):
+        s, d, z = args
+        clr = rdp_clr_reps(
+            t3, bounds_gen, fbar, psite, s, d, z,
+            n_rep=sub_rep, n_cells=n_cells, n_rows=n_rows,
+            n_alpha=n_alpha, pg=pg, c_sub=32, mm_bf16=mm_bf16,
+        )  # [sub_rep, n_pts*Jf, A]
+        return clr.reshape(sub_rep, n_pts, Jf * n_alpha).max(axis=2)
+
+    out = jax.lax.map(
+        one_slice,
+        (
+            src.reshape(n_slices, sub_rep, B),
+            dst.reshape(n_slices, sub_rep, B),
+            sz.reshape(n_slices, sub_rep, B),
+        ),
     )
     return out.reshape(n_slices * sub_rep, n_pts)
 
@@ -1457,6 +1526,104 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             start=start_x,
         ))
 
+    # ---- run-decomposed prefix (RDP) tail path --------------------------
+    # When the surviving bound set is far smaller than the live genome,
+    # chunks dispatch through rdp_clr_reps (two row gathers per (bound,
+    # replicate) against precomputed tables) instead of building the
+    # permuted one-hot stream — the per-replicate cost drops from
+    # O(live sites) to O(active bounds).  Exact one-hot mode only
+    # (compressed-table f32 prefixes have no integer run identity) and
+    # single-device for now (mesh chunks keep the stacked path).
+    rdp_ok = ht.weights is None and mesh is None and RDP_FORCE != "off"
+    rdp_psite = None
+    rdp_ctx = None  # (signature, pts, bounds_gen, fbar, n_pts_pad)
+    chr_sites = {
+        c: n for (c, start, n, pos_np, dev) in
+        (seg for st in stacks for seg in st.segs)
+    }
+
+    def _rdp_auto_ok():
+        n_act = int(active.sum())
+        if n_act == 0:
+            return False
+        live = {int(c) for c in np.unique(result.chr_id[active])}
+        live_sites = sum(chr_sites.get(c, 0) for c in live)
+        bound_entries = n_act * Jf * 2 * (ht.n_cells + 1)
+        return RDP_BOUNDS_FACTOR * bound_entries < live_sites
+
+    def _rdp_rebuild():
+        """Genome-site bound geometry for the active set; point order ==
+        the stacked drain order (stacks, then segments, then ascending
+        point ids) so _apply_round_updates consumes the host RNG stream
+        identically on both paths."""
+        parts_b, parts_f, pts_all = [], [], []
+        n_cp_max = 1
+        for st in stacks:
+            for c, *_ in st.segs:
+                n_here = int(((result.chr_id == c) & active).sum())
+                n_cp_max = max(n_cp_max, n_here)
+        n_cp = _pad_pow2(n_cp_max, minimum=4)
+        for st in stacks:
+            for c, start, n, pos_np, dev in st.segs:
+                pts = np.where((result.chr_id == c) & active)[0]
+                if len(pts) == 0:
+                    continue
+                cand = np.pad(
+                    _fine_cand(result, pts, Jf),
+                    (0, (n_cp - len(pts)) * Jf),
+                )
+                for k in _points_keys(st, n_cp):
+                    warm.wait(k)
+                hp = build_hist_points(
+                    ht, pos_np, cand, scan_cfg.eval_range,
+                    cand_pad=Jf, device_arrays=dev,
+                )
+                parts_b.append(
+                    hp.bounds[: len(pts) * Jf] + jnp.int32(start)
+                )
+                parts_f.append(hp.fbar[: len(pts) * Jf])
+                pts_all.append(pts)
+        pts = np.concatenate(pts_all)
+        n_pts_pad = _pad_pow2(max(len(pts), 1), minimum=4)
+        bounds = jnp.concatenate(parts_b)
+        fbar = jnp.concatenate(parts_f)
+        pad = n_pts_pad * Jf - bounds.shape[0]
+        if pad:
+            # zero bounds -> identical prefix rows -> h = 0 -> CLR 0
+            bounds = jnp.pad(bounds, ((0, pad), (0, 0), (0, 0)))
+            fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
+        return pts, bounds, fbar, n_pts_pad
+
+    def _rdp_chunk(boost_x, start_x, R):
+        """One whole chunk through the RDP path; returns (pts, [R, n_pts])."""
+        nonlocal rdp_psite, rdp_ctx
+        if rdp_psite is None:
+            from ..ops.histclr import build_site_prefix
+
+            rdp_psite = build_site_prefix(row_cg, n_rows=ht.n_rows)
+        sig = active.tobytes()
+        if rdp_ctx is None or rdp_ctx[0] != sig:
+            rdp_ctx = (sig,) + _rdp_rebuild()
+        _, pts, bounds_gen, fbar, n_pts_pad = rdp_ctx
+        from ..ops.permute import block_permutation_runs
+
+        n_rep_gen = R_gen * boost_x + q_max
+        src, dst, sz = block_permutation_runs(
+            key0, gpos, width_bp, n_rep_gen, start=start_x
+        )
+        sub = HIST_REP_SUB
+        n_slices = -(-R // sub)
+        Rp = n_slices * sub
+        out = _rdp_stat(
+            ht.t3, bounds_gen, fbar, rdp_psite,
+            src[:Rp], dst[:Rp], sz[:Rp],
+            n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
+            pg=PERM_GROUP, sub_rep=sub, n_slices=n_slices,
+            n_pts=n_pts_pad, Jf=Jf, mm_bf16=cfg.hist_bf16,
+        )
+        last_stats["rdp_dispatches"] += 1
+        return pts, out
+
     # speculative sigma for the NEXT chunk: (boost, start, device array)
     # enqueued right before the previous chunk's host drain, so the device
     # computes it during the readback + host-update window instead of
@@ -1472,6 +1639,37 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 boost = _boost(int(active.sum()), rounds_done)
                 R = min(cfg.chunk_replicates * boost,
                         cfg.n_permute - rounds_done)
+                use_rdp = rdp_ok and (
+                    RDP_FORCE == "on" or _rdp_auto_ok()
+                )
+                if use_rdp:
+                    pts, out_dev = _rdp_chunk(boost, rounds_done, R)
+                    if th_dev is not None:
+                        flat = np.asarray(
+                            jnp.concatenate(
+                                [th_dev,
+                                 out_dev[:R, : len(pts)].reshape(-1)]
+                            )
+                        )
+                        T = len(flat) - R * len(pts)
+                        _drain_thresholds(flat[:T])
+                        nm = flat[T:].reshape(R, len(pts))
+                    else:
+                        nm = np.asarray(out_dev)[:R, : len(pts)]
+                    _apply_round_updates(
+                        result, active, threshold, rng, cfg, pts, nm,
+                        rounds_done, R,
+                    )
+                    rounds_done += R
+                    _progress()
+                    logmsg(
+                        MSG_DEBUG, "rdp round chunk of %d: %.1fs", R,
+                        _time.monotonic() - _tr,
+                    )
+                    if ckpt is not None:
+                        ckpt.save(result, rounds_done)
+                    intr.maybe_dump()
+                    continue
                 # shard only when the replicate padding stays reasonable (small
                 # final chunks run unsharded rather than pad 8x)
                 shard_now = (

@@ -823,6 +823,125 @@ def hist_clr_reps(t3, bounds, fbar, row_rep,
     )
 
 
+def build_site_prefix(row_compact, *, n_rows):
+    """[W+1, R] int32 prefix of the UNPERMUTED genome one-hot stream.
+
+    The run-decomposed permuted-prefix path (rdp_clr_reps) assembles any
+    replicate's permuted prefix from rows of this ONE precomputed table:
+    built once per dataset, O(W*R) — never per replicate.
+    """
+    oh = (
+        row_compact[:, None] == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+    )
+    return jnp.concatenate(
+        [jnp.zeros((1, n_rows), jnp.int32),
+         jnp.cumsum(oh.astype(jnp.int32), axis=0)], axis=0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rep", "n_cells", "n_rows", "n_alpha", "pg",
+                     "c_sub", "mm_bf16"),
+)
+def rdp_clr_reps(t3, bounds_gen, fbar, psite, src_starts, dst_starts,
+                 sizes, *, n_rep, n_cells, n_rows, n_alpha, pg, c_sub=32,
+                 mm_bf16=False):
+    """CLR[p, c, a] via the run-decomposed permuted prefix (RDP).
+
+    The block permutation is a concatenation of B contiguous SOURCE runs
+    (ops/permute.py block_permutation_runs): permuted output groups
+    [dst_starts[k], dst_starts[k]+sizes[k]) take source groups
+    [src_starts[k], ...).  The permuted one-hot prefix at genome site b
+    therefore telescopes to
+
+        A(b) = D[k(b)] + psite[src_site(b)]
+
+    where k(b) is b's run (searchsorted over dst_starts), src_site(b) =
+    (src_starts[k] + b//pg - dst_starts[k]) * pg + b%pg, D[k] =
+    (exclusive run-total prefix)[k] - psite[src_starts[k]*pg], and psite
+    is the UNPERMUTED site prefix (build_site_prefix, computed once).
+    Per (bound, replicate) that is TWO row gathers against precomputed
+    tables — no per-replicate O(W) one-hot stream, prefix pass, or
+    transpose.  Cost scales with bounds x replicates instead of genome
+    sites x replicates, which is the pruning-tail regime's asymptotic win
+    (the C rebuilds its permuted SNP array in O(sites) per replicate
+    however few points survive, scan-chromosome.c:441-461).
+
+    Window differences h = A(b_{i+1}) - A(b_i) equal the segmented-stream
+    prefix differences exactly (integer arithmetic, same counts), so the
+    downstream weighting/contraction — identical code to
+    hist_clr_reps_ps — evaluates the SAME statistic as the stacked path
+    (equality-tested in tests/test_permute_hist.py).
+
+    bounds_gen: [C, 2, NC+1] int32 GENOME-site bounds (chromosome-local
+    bounds + chromosome start index; padding candidates all-zero rows ->
+    h = 0 -> CLR exactly 0).  psite: [W+1, R] int32.  src/dst/sizes:
+    [P, B] int32 group-level runs.  Returns [P, C, A] f32.
+    """
+    NC, R, A = n_cells, n_rows, n_alpha
+    P_rep = n_rep
+    B = src_starts.shape[1]
+    W1 = psite.shape[0]
+
+    # per-run constants D[p, k] (exclusive prefix of run totals, minus the
+    # run's source base): [P, B] row gathers + one tiny cumsum
+    s_sites = jnp.clip(src_starts * pg, 0, W1 - 1)
+    e_sites = jnp.clip((src_starts + sizes) * pg, 0, W1 - 1)
+    pst_s = psite[s_sites]  # [P, B, R]
+    run_tot = psite[e_sites] - pst_s
+    rps = jnp.cumsum(run_tot, axis=1) - run_tot  # exclusive
+    d_flat = (rps - pst_s).reshape(P_rep * B, R)
+
+    c_sub = min(c_sub, max(2, 1024 // max(P_rep, 1)))
+    C = bounds_gen.shape[0]
+    n_chunks = -(-C // c_sub)
+    pad = n_chunks * c_sub - C
+    if pad:
+        bounds_gen = jnp.pad(bounds_gen, ((0, pad), (0, 0), (0, 0)))
+        fbar = jnp.pad(fbar, ((0, pad), (0, 0), (0, 0)))
+    b_c = bounds_gen.reshape(n_chunks, c_sub, 2, NC + 1)
+    f_c = fbar.reshape(n_chunks, c_sub, 2, NC)
+    sign = jnp.array([-1, 1], jnp.int32)[None, :, None, None, None]
+    mmdt = jnp.bfloat16 if mm_bf16 else jnp.float32
+    t3r = t3.reshape(2 * NC, R, A).astype(mmdt)
+    p_off = jnp.arange(P_rep, dtype=jnp.int32)[:, None] * B
+
+    def one_chunk(carry, args):
+        bc, fc = args  # [c_sub, 2, NC+1], [c_sub, 2, NC]
+        flat_b = bc.reshape(-1)  # [M] genome site indices
+        g_b = flat_b // pg
+        o_b = flat_b - g_b * pg
+
+        def per_rep(d_st, s_st):
+            k = (
+                jnp.searchsorted(d_st, g_b, side="right").astype(jnp.int32)
+                - 1
+            )
+            k = jnp.clip(k, 0, B - 1)
+            src_g = s_st[k] + g_b - d_st[k]
+            return k, src_g
+
+        k, src_g = jax.vmap(per_rep)(dst_starts, src_starts)  # [P, M]
+        src_site = jnp.clip(src_g * pg + o_b[None, :], 0, W1 - 1)
+        a = d_flat[p_off + k] + psite[src_site]  # [P, M, R]
+        psb = a.reshape(P_rep, c_sub, 2, NC + 1, R).transpose(1, 2, 3, 0, 4)
+        h = ((psb[:, :, 1:, :, :] - psb[:, :, :-1, :, :])
+             * sign).astype(jnp.float32)  # [c_sub, 2, NC, P, R]
+        w0 = jnp.sum(h * (1.0 - fc[..., None, None]), axis=1)
+        w1 = jnp.sum(h * fc[..., None, None], axis=1)
+        kmat = jnp.concatenate([w0, w1], axis=1).astype(mmdt)
+        out = jax.lax.dot_general(
+            kmat, t3r, dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [c_sub, P, A]
+        return carry, 2.0 * out
+
+    _, out = jax.lax.scan(one_chunk, None, (b_c, f_c))
+    out = out.reshape(n_chunks * c_sub, P_rep, A)[:C]
+    return out.transpose(1, 0, 2)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_rep", "n_cells", "n_rows", "n_alpha", "c_sub",

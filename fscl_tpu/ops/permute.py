@@ -30,102 +30,151 @@ RNG stream is irreproducible across thread schedules anyway).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-PERM_GROUP = 8  # sites per permutation group: block boundaries quantize to
-# multiples of this, so sigma is GROUP-level — the permuted one-hot gather
-# fetches PERM_GROUP-site-wide rows (8x fewer rows at the same bytes; row
-# gathers run at a fixed rows/s nearly independent of width), and sigma
-# arrays shrink 8x.  Blocks are ~10^3 sites, so shifting their boundaries
-# by <8 sites is statistically immaterial (PARITY.md deviations).
+PERM_GROUP = int(os.environ.get("FSCL_PERM_GROUP", "32"))
+# sites per permutation group: block boundaries quantize to multiples of
+# this, so sigma is GROUP-level — the permuted one-hot gather fetches
+# PERM_GROUP-site-wide rows (PERM_GROUP x fewer rows at the same bytes;
+# row gathers run at a fixed rows/s nearly independent of width up to
+# several KB), and sigma arrays shrink the same factor.  Blocks span >=
+# the scan width (~10^3 sites at genome densities), so shifting their
+# boundaries by < PERM_GROUP sites is statistically immaterial (PARITY.md
+# deviations; the C's own boundaries carry ~10-site geometric jitter,
+# scan-chromosome.c:344-358).  Round 5 raised 8 -> 32 after the tail
+# profile showed the permuted one-hot row gather as the dominant
+# per-replicate cost (bench/profile_tail.py); the env override exists for
+# A/B and for row widths that would exceed the full-rate gather band
+# (PERM_GROUP * n_rows * 4B for compressed tables).  Fixed per process —
+# never change it mid-run (sigma streams and compiled shapes depend on it).
+
+
+def _one_replicate_runs(k, g0, n_blocks, width):
+    """The run decomposition of one replicate's block shuffle.
+
+    Returns (src_starts [n_blocks], dst_starts [n_blocks], sizes
+    [n_blocks]) in GROUP units: output groups [dst_starts[j],
+    dst_starts[j] + sizes[j]) take source groups [src_starts[j], ...).
+    Shared by the sigma materializer and the run-decomposed prefix path
+    (engine/permute.py RDP) so both see the IDENTICAL permutation stream.
+    """
+    k_phase, k_perm = jax.random.split(k)
+    phase = jax.random.uniform(k_phase, (), minval=0.0, maxval=width)
+    block = ((g0.astype(jnp.float32) + phase) / width).astype(jnp.int32)
+    block = jnp.clip(block, 0, n_blocks - 2)  # [W], monotone
+    block = block.at[-1].set(n_blocks - 1)  # pinned tail block
+    # identity rejection: redraw until the shuffle moves something.
+    # The reference's sequential swap runs never produce the identity
+    # (scan-chromosome.c:336-389 always relocates the destination
+    # run), and for short genomes with only 2-3 shuffleable blocks
+    # the identity draw had probability 1/2-1/6, inflating every
+    # p-value by that amount.  Excluding it biases the test by at
+    # most 1/(B-1)! toward anti-conservatism — standard permutation
+    # practice.  With a single shuffleable block no redraw can help;
+    # the loop exits (degenerate span < one block width).
+    B = n_blocks - 1
+    ident = jnp.arange(B, dtype=jnp.int32)
+
+    def draw(kp):
+        return jax.random.permutation(kp, B).astype(jnp.int32)
+
+    def cond(c):
+        kp, o = c
+        return jnp.all(o == ident) & (B > 1)
+
+    def body(c):
+        kp, _ = c
+        kp2 = jax.random.fold_in(kp, 1)
+        return kp2, draw(kp2)
+
+    _, head = jax.lax.while_loop(cond, body, (k_perm, draw(k_perm)))
+    order = jnp.concatenate(
+        [head, jnp.full((1,), n_blocks - 1, jnp.int32)]
+    )
+    b_idx = jnp.arange(n_blocks, dtype=jnp.int32)
+    starts = jnp.searchsorted(block, b_idx, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(block, b_idx, side="right").astype(jnp.int32)
+    sz_shuf = (ends - starts)[order]
+    dst_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(sz_shuf)[:-1]]
+    )  # exclusive prefix into the shuffled output layout
+    return starts[order], dst_off, sz_shuf
+
+
+def _replicate_keys(key, start, n_replicates):
+    # replicate i's key depends only on its ABSOLUTE index start+i, never on
+    # how the driver chunks replicates: checkpoint resume, adaptive chunk
+    # boosting, and device sharding all replay the identical stream.
+    idx = start + jnp.arange(n_replicates, dtype=jnp.uint32)
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_blocks", "n_replicates", "width")
 )
 def _replicates(key, start, g0, *, n_blocks, n_replicates, width):
-    # replicate i's key depends only on its ABSOLUTE index start+i, never on
-    # how the driver chunks replicates: checkpoint resume, adaptive chunk
-    # boosting, and device sharding all replay the identical stream.
     # g0 holds each GROUP's first-site genome position; the final entry may
     # be a partial tail group — it gets the dedicated pinned block id
     # n_blocks (appended, never shuffled), so group expansion stays within
     # the real site range.
-    idx = start + jnp.arange(n_replicates, dtype=jnp.uint32)
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
-
+    keys = _replicate_keys(key, start, n_replicates)
     W = g0.shape[0]
     w_idx = jnp.arange(W, dtype=jnp.int32)
 
     def one(k):
-        k_phase, k_perm = jax.random.split(k)
-        phase = jax.random.uniform(k_phase, (), minval=0.0, maxval=width)
-        block = ((g0.astype(jnp.float32) + phase) / width).astype(jnp.int32)
-        block = jnp.clip(block, 0, n_blocks - 2)  # [W], monotone
-        block = block.at[-1].set(n_blocks - 1)  # pinned tail block
-        # identity rejection: redraw until the shuffle moves something.
-        # The reference's sequential swap runs never produce the identity
-        # (scan-chromosome.c:336-389 always relocates the destination
-        # run), and for short genomes with only 2-3 shuffleable blocks
-        # the identity draw had probability 1/2-1/6, inflating every
-        # p-value by that amount.  Excluding it biases the test by at
-        # most 1/(B-1)! toward anti-conservatism — standard permutation
-        # practice.  With a single shuffleable block no redraw can help;
-        # the loop exits (degenerate span < one block width).
-        B = n_blocks - 1
-        ident = jnp.arange(B, dtype=jnp.int32)
-
-        def draw(kp):
-            return jax.random.permutation(kp, B).astype(jnp.int32)
-
-        def cond(c):
-            kp, o = c
-            return jnp.all(o == ident) & (B > 1)
-
-        def body(c):
-            kp, _ = c
-            kp2 = jax.random.fold_in(kp, 1)
-            return kp2, draw(kp2)
-
-        _, head = jax.lax.while_loop(cond, body, (k_perm, draw(k_perm)))
-        order = jnp.concatenate(
-            [head, jnp.full((1,), n_blocks - 1, jnp.int32)]
-        )
+        src, dst_off, _ = _one_replicate_runs(k, g0, n_blocks, width)
         # direct construction (no O(W log W) argsort): output slot s holds
         # the (s - dst_off[j])-th site of block order[j], where j is s's
         # position in the shuffled block layout.  Identical to the stable
         # argsort of shuffled block ranks (blocks in `order`, within-block
         # site order preserved) at ~10x less work for the pruning-tail
         # chunks that generate hundreds of replicates per round.
-        b_idx = jnp.arange(n_blocks, dtype=jnp.int32)
-        starts = jnp.searchsorted(block, b_idx, side="left").astype(
-            jnp.int32
-        )
-        ends = jnp.searchsorted(block, b_idx, side="right").astype(
-            jnp.int32
-        )
-        sz_shuf = (ends - starts)[order]
-        dst_off = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(sz_shuf)[:-1]]
-        )  # exclusive prefix into the shuffled output layout
-        # sigma[s] = starts[order[j(s)]] + (s - dst_off[j(s)]) where j(s) is
-        # s's block in the shuffled layout.  val[j] := starts[order[j]] -
-        # dst_off[j] is a per-block step function of s, so sigma = s +
-        # cumsum(scatter of val-deltas at the block offsets) — O(W)
-        # elementwise with one B-sized scatter, no per-site searchsorted
-        # (whose W x log B gathers dominated) and no O(W log W) argsort.
-        # Duplicate offsets (empty blocks) telescope to the last block's
-        # val, exactly matching searchsorted-right semantics.
-        val = starts[order] - dst_off  # [B] i32
+        # val[j] := src[j] - dst_off[j] is a per-block step function of s,
+        # so sigma = s + cumsum(scatter of val-deltas at the block
+        # offsets) — O(W) elementwise with one B-sized scatter, no
+        # per-site searchsorted and no O(W log W) argsort.  Duplicate
+        # offsets (empty blocks) telescope to the last block's val,
+        # exactly matching searchsorted-right semantics.
+        val = src - dst_off  # [B] i32
         dval = jnp.diff(val, prepend=jnp.zeros(1, val.dtype))
         base = jnp.zeros(W, jnp.int32).at[dst_off].add(dval, mode="drop")
         return jnp.cumsum(base) + w_idx
 
     return jax.vmap(one)(keys)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "n_replicates", "width")
+)
+def _replicates_runs(key, start, g0, *, n_blocks, n_replicates, width):
+    keys = _replicate_keys(key, start, n_replicates)
+    return jax.vmap(
+        lambda k: _one_replicate_runs(k, g0, n_blocks, width)
+    )(keys)
+
+
+def block_permutation_runs(key, gpos, width_bp, n_replicates, start=0):
+    """Run decomposition (src_starts, dst_starts, sizes) [R, n_blocks] of
+    the SAME permutation stream block_permutation_groups materializes.
+
+    Group units; row r is a pure function of (key, start + r), identical
+    to sigma8 row r: sigma8[r, dst_starts[j] + t] == src_starts[j] + t
+    for t < sizes[j] (tested in tests/test_ops.py).  The run-decomposed
+    prefix path consumes this instead of sigma when the active bound set
+    is far smaller than the genome (engine/permute.py RDP).
+    """
+    g0, span = _group_first_positions(gpos)
+    return _replicates_runs(
+        key, jnp.uint32(start), g0,
+        n_blocks=n_blocks_for(span, width_bp),
+        n_replicates=int(n_replicates),
+        width=effective_block_width(span, width_bp),
+    )
 
 
 # device copies of the caller's host gpos arrays (group first-site

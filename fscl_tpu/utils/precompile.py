@@ -123,6 +123,11 @@ class Precompiler:
             fn()
         except Exception:  # foreground path will compile synchronously
             ok = False
+            if os.environ.get("FSCL_WARM_DEBUG"):
+                import traceback
+
+                print(f"[warm-error] {key}", flush=True)
+                traceback.print_exc()
         dt = time.monotonic() - t0
         if ok:
             with self._done_lock:
