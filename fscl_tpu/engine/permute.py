@@ -89,10 +89,16 @@ HIST_COMPACT = True  # rebuild point buckets as pruning empties them
 # one-hot stream — per-replicate cost scales with bounds, not sites.
 # "auto" switches by the cost rule below; "on"/"off" force (tests, A/B).
 RDP_FORCE = __import__("os").environ.get("FSCL_RDP", "auto")
-# auto rule: RDP when 2 * active-bound entries < live sites — two row
-# gathers per (bound, replicate) vs the stacked path's per-site stream
-# build (gather + prefix + transposes), both row-rate-bound in practice
-RDP_BOUNDS_FACTOR = 2
+# auto rule: RDP when RDP_BOUNDS_FACTOR * active-bound entries <
+# live sites.  The factor is MEASURED, not modeled: on the genome1m
+# 22-point tail (58.8k bound entries, 778k live sites) a same-session
+# A/B clocked RDP at 91 ms per 16-replicate slice (~1.55 us per bound
+# entry — the [M, P]-indexed narrow gathers run far below the wide-row
+# gather rate) vs the stacked path's 51 ms (~66 ns per live site), so
+# the crossover sits near entries ~= sites / 24.  RDP therefore takes
+# over only for the last ~dozen immortal points, where the stacked
+# path's O(live sites) per replicate is maximally wasteful.
+RDP_BOUNDS_FACTOR = 24
 # Per-chunk sigma footprint cap (elements): bounds chunk_replicates x boost
 # so a single chunk's permutation stream stays inside the envelope the
 # tunnel worker demonstrably survives.  2048-replicate chunks at genome
@@ -779,20 +785,20 @@ def _stack_stat(oh_table, sigma8, seg_g0, seg_off, seg_n, bounds, fbar, t3,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_cells", "n_rows", "n_alpha", "pg", "sub_rep", "n_slices",
-        "n_pts", "Jf", "mm_bf16",
+        "n_cells", "n_rows", "n_alpha", "pg", "n_groups", "sub_rep",
+        "n_slices", "n_pts", "Jf", "mm_bf16",
     ),
 )
 def _rdp_stat(t3, bounds_gen, fbar, psite, src, dst, sz,
-              *, n_cells, n_rows, n_alpha, pg, sub_rep, n_slices, n_pts,
-              Jf, mm_bf16=False):
+              *, n_cells, n_rows, n_alpha, pg, n_groups, sub_rep,
+              n_slices, n_pts, Jf, mm_bf16=False):
     """Statistic maxima via the run-decomposed prefix; [R, n_pts].
 
-    src/dst/sz: [n_slices*sub_rep, B] group-level runs
-    (ops/permute.py block_permutation_runs).  bounds_gen: [n_pts*Jf, 2,
-    NC+1] genome-site bounds.  Same statistic functional as _stack_stat
-    (identical window counts -> identical contraction), dispatched as an
-    inner lax.map over replicate slices.
+    src/dst/sz: [n_slices*sub_rep, B] group-level runs (ops/permute.py
+    block_permutation_runs — the SAME stream sigma materializes).
+    bounds_gen: [n_pts*Jf, 2, NC+1] genome-site bounds.  Same statistic
+    functional as _stack_stat (identical window counts -> identical
+    contraction), dispatched as an inner lax.map over replicate slices.
     """
     from ..ops.histclr import rdp_clr_reps
 
@@ -803,7 +809,8 @@ def _rdp_stat(t3, bounds_gen, fbar, psite, src, dst, sz,
         clr = rdp_clr_reps(
             t3, bounds_gen, fbar, psite, s, d, z,
             n_rep=sub_rep, n_cells=n_cells, n_rows=n_rows,
-            n_alpha=n_alpha, pg=pg, c_sub=32, mm_bf16=mm_bf16,
+            n_alpha=n_alpha, pg=pg, n_groups=n_groups, c_sub=32,
+            mm_bf16=mm_bf16,
         )  # [sub_rep, n_pts*Jf, A]
         return clr.reshape(sub_rep, n_pts, Jf * n_alpha).max(axis=2)
 
@@ -1618,8 +1625,9 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             ht.t3, bounds_gen, fbar, rdp_psite,
             src[:Rp], dst[:Rp], sz[:Rp],
             n_cells=ht.n_cells, n_rows=ht.n_rows, n_alpha=ht.n_alpha,
-            pg=PERM_GROUP, sub_rep=sub, n_slices=n_slices,
-            n_pts=n_pts_pad, Jf=Jf, mm_bf16=cfg.hist_bf16,
+            pg=PERM_GROUP, n_groups=n_groups, sub_rep=sub,
+            n_slices=n_slices, n_pts=n_pts_pad, Jf=Jf,
+            mm_bf16=cfg.hist_bf16,
         )
         last_stats["rdp_dispatches"] += 1
         return pts, out

@@ -842,11 +842,11 @@ def build_site_prefix(row_compact, *, n_rows):
 @functools.partial(
     jax.jit,
     static_argnames=("n_rep", "n_cells", "n_rows", "n_alpha", "pg",
-                     "c_sub", "mm_bf16"),
+                     "n_groups", "c_sub", "mm_bf16"),
 )
-def rdp_clr_reps(t3, bounds_gen, fbar, psite, src_starts, dst_starts,
-                 sizes, *, n_rep, n_cells, n_rows, n_alpha, pg, c_sub=32,
-                 mm_bf16=False):
+def rdp_clr_reps(t3, bounds_gen, fbar, psite, src_starts,
+                 dst_starts, sizes, *, n_rep, n_cells, n_rows, n_alpha,
+                 pg, n_groups, c_sub=32, mm_bf16=False):
     """CLR[p, c, a] via the run-decomposed permuted prefix (RDP).
 
     The block permutation is a concatenation of B contiguous SOURCE runs
@@ -855,33 +855,44 @@ def rdp_clr_reps(t3, bounds_gen, fbar, psite, src_starts, dst_starts,
     [src_starts[k], ...).  The permuted one-hot prefix at genome site b
     therefore telescopes to
 
-        A(b) = D[k(b)] + psite[src_site(b)]
+        A(b) = D[k(b)] + psite[src_group(b) * pg + b % pg]
 
-    where k(b) is b's run (searchsorted over dst_starts), src_site(b) =
-    (src_starts[k] + b//pg - dst_starts[k]) * pg + b%pg, D[k] =
-    (exclusive run-total prefix)[k] - psite[src_starts[k]*pg], and psite
-    is the UNPERMUTED site prefix (build_site_prefix, computed once).
-    Per (bound, replicate) that is TWO row gathers against precomputed
-    tables — no per-replicate O(W) one-hot stream, prefix pass, or
+    where k(b) is b's run, src_group(b) = sigma8[b // pg] (the group
+    sigma IS the per-group source map), D[k] = (exclusive run-total
+    prefix)[k] - psite[src_starts[k] * pg], and psite is the UNPERMUTED
+    site prefix (build_site_prefix, computed once per dataset).  Per
+    (bound, replicate) that is TWO row gathers against precomputed
+    tables — no per-replicate O(W) one-hot stream, prefix pass, or bulk
     transpose.  Cost scales with bounds x replicates instead of genome
-    sites x replicates, which is the pruning-tail regime's asymptotic win
-    (the C rebuilds its permuted SNP array in O(sites) per replicate
-    however few points survive, scan-chromosome.c:441-461).
+    sites x replicates — the pruning-tail regime's asymptotic win (the C
+    rebuilds its permuted SNP array in O(sites) per replicate however
+    few points survive, scan-chromosome.c:441-461).
 
-    Window differences h = A(b_{i+1}) - A(b_i) equal the segmented-stream
-    prefix differences exactly (integer arithmetic, same counts), so the
-    downstream weighting/contraction — identical code to
-    hist_clr_reps_ps — evaluates the SAME statistic as the stacked path
-    (equality-tested in tests/test_permute_hist.py).
+    Layout discipline (the first cut of this kernel transposed the
+    gathered [P, M, R] data into consumption order and spent ~95% of its
+    wall relayouting): the SMALL index arrays are transposed instead —
+    sigma8_t/run_of_t are [G, P] ROW-gathered at the bound groups, so
+    the big D/psite gathers land directly in [M, P, R] consumption
+    order.  The per-group run-id table run_of is built by a scatter +
+    cumsum (exactly searchsorted(dst_starts, g, 'right') - 1, duplicates
+    from empty runs telescope correctly) — no per-bound binary search.
+
+    Window differences h equal the segmented-stream prefix differences
+    exactly (same integers), so the downstream weighting/contraction —
+    identical code to hist_clr_reps_ps — evaluates the SAME statistic as
+    the stacked path (tests/test_rdp.py: driver counts match exactly).
 
     bounds_gen: [C, 2, NC+1] int32 GENOME-site bounds (chromosome-local
     bounds + chromosome start index; padding candidates all-zero rows ->
     h = 0 -> CLR exactly 0).  psite: [W+1, R] int32.  src/dst/sizes:
-    [P, B] int32 group-level runs.  Returns [P, C, A] f32.
+    [P, B] int32 group-level runs (the source-group map sigma8 is
+    rebuilt from them here by the sigma materializer's scatter + cumsum,
+    O(G) per replicate); n_groups = G.  Returns [P, C, A] f32.
     """
     NC, R, A = n_cells, n_rows, n_alpha
     P_rep = n_rep
     B = src_starts.shape[1]
+    G = n_groups
     W1 = psite.shape[0]
 
     # per-run constants D[p, k] (exclusive prefix of run totals, minus the
@@ -892,6 +903,29 @@ def rdp_clr_reps(t3, bounds_gen, fbar, psite, src_starts, dst_starts,
     run_tot = psite[e_sites] - pst_s
     rps = jnp.cumsum(run_tot, axis=1) - run_tot  # exclusive
     d_flat = (rps - pst_s).reshape(P_rep * B, R)
+
+    # per-group tables [G, P]: run ids (scatter 1 at each run's dst
+    # start + cumsum == searchsorted(dst_starts, g, 'right') - 1; empty
+    # runs' duplicate starts telescope to the owning run) and the
+    # source-group map (scatter of per-run shift deltas — exactly the
+    # sigma materializer's construction, ops/permute.py _replicates)
+    p_idx = jnp.arange(P_rep, dtype=jnp.int32)[:, None]
+    ones = jnp.zeros((P_rep, G), jnp.int32).at[p_idx, dst_starts].add(
+        1, mode="drop"
+    )
+    run_of_t = (jnp.cumsum(ones, axis=1) - 1).T  # [G, P]
+    val = src_starts - dst_starts  # [P, B]
+    dval = jnp.concatenate(
+        [val[:, :1], jnp.diff(val, axis=1)], axis=1
+    )
+    base = jnp.zeros((P_rep, G), jnp.int32).at[p_idx, dst_starts].add(
+        dval, mode="drop"
+    )
+    sigma8_t = (
+        jnp.cumsum(base, axis=1)
+        + jnp.arange(G, dtype=jnp.int32)[None, :]
+    ).T  # [G, P]
+    p_off = jnp.arange(P_rep, dtype=jnp.int32)[None, :] * B  # [1, P]
 
     c_sub = min(c_sub, max(2, 1024 // max(P_rep, 1)))
     C = bounds_gen.shape[0]
@@ -905,27 +939,17 @@ def rdp_clr_reps(t3, bounds_gen, fbar, psite, src_starts, dst_starts,
     sign = jnp.array([-1, 1], jnp.int32)[None, :, None, None, None]
     mmdt = jnp.bfloat16 if mm_bf16 else jnp.float32
     t3r = t3.reshape(2 * NC, R, A).astype(mmdt)
-    p_off = jnp.arange(P_rep, dtype=jnp.int32)[:, None] * B
 
     def one_chunk(carry, args):
         bc, fc = args  # [c_sub, 2, NC+1], [c_sub, 2, NC]
         flat_b = bc.reshape(-1)  # [M] genome site indices
-        g_b = flat_b // pg
+        g_b = jnp.clip(flat_b // pg, 0, G - 1)
         o_b = flat_b - g_b * pg
-
-        def per_rep(d_st, s_st):
-            k = (
-                jnp.searchsorted(d_st, g_b, side="right").astype(jnp.int32)
-                - 1
-            )
-            k = jnp.clip(k, 0, B - 1)
-            src_g = s_st[k] + g_b - d_st[k]
-            return k, src_g
-
-        k, src_g = jax.vmap(per_rep)(dst_starts, src_starts)  # [P, M]
-        src_site = jnp.clip(src_g * pg + o_b[None, :], 0, W1 - 1)
-        a = d_flat[p_off + k] + psite[src_site]  # [P, M, R]
-        psb = a.reshape(P_rep, c_sub, 2, NC + 1, R).transpose(1, 2, 3, 0, 4)
+        src_g = sigma8_t[g_b]  # [M, P] row gather (small)
+        k = run_of_t[g_b]  # [M, P] row gather (small)
+        src_site = jnp.clip(src_g * pg + o_b[:, None], 0, W1 - 1)
+        a = d_flat[k + p_off] + psite[src_site]  # [M, P, R] in order
+        psb = a.reshape(c_sub, 2, NC + 1, P_rep, R)
         h = ((psb[:, :, 1:, :, :] - psb[:, :, :-1, :, :])
              * sign).astype(jnp.float32)  # [c_sub, 2, NC, P, R]
         w0 = jnp.sum(h * (1.0 - fc[..., None, None]), axis=1)

@@ -78,7 +78,8 @@ def test_rdp_matches_sigma_prefix_path():
     got = np.asarray(rdp_clr_reps(
         ht.t3, hp.bounds, hp.fbar, psite, src, dst, sz,
         n_rep=P, n_cells=ht.n_cells, n_rows=ht.n_rows,
-        n_alpha=ht.n_alpha, pg=PERM_GROUP, c_sub=4,
+        n_alpha=ht.n_alpha, pg=PERM_GROUP,
+        n_groups=int(sigma8.shape[1]), c_sub=4,
     ))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
