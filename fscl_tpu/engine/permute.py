@@ -99,6 +99,25 @@ RDP_FORCE = __import__("os").environ.get("FSCL_RDP", "auto")
 # over only for the last ~dozen immortal points, where the stacked
 # path's O(live sites) per replicate is maximally wasteful.
 RDP_BOUNDS_FACTOR = 24
+# group-granular hist statistic (round 5, _stack_stat_g): bounds snap to
+# permutation-group boundaries so every per-replicate structure lives at
+# group resolution — PERM_GROUP x less gather/prefix traffic and NO
+# transpose (the site-level pipeline's wall was 47% relayout,
+# bench/micro_stack.py).  Exact one-hot mode only; env kill-switch.
+# DEFAULT OFF: the snap is immaterial for FAR distance cells (thousands
+# of sites) but moves up to PERM_GROUP/2 sites across NEAR-cell
+# boundaries that legitimately hold 0-2 sites, materially perturbing the
+# large-alpha statistic (measured exceedance-fraction shifts up to 0.5
+# on an 18k-site config).  The test stays VALID (identical functional
+# both sides) but the estimand degrades; kept as an opt-in experiment.
+GROUP_STAT = __import__("os").environ.get("FSCL_GROUP_STAT", "0") == "1"
+# the <= PERM_GROUP/2-site bound snap is negligible when windows hold
+# tens of thousands of sites (genome/100k-scale data) but material on
+# small chromosomes (a 16-site snap on a few-hundred-site window moves
+# whole percent of the window): group mode engages only when every
+# chromosome clears this site count, below it the exact site-level
+# statistic runs
+GROUP_STAT_MIN_SITES = 16384
 # Per-chunk sigma footprint cap (elements): bounds chunk_replicates x boost
 # so a single chunk's permutation stream stays inside the envelope the
 # tunnel worker demonstrably survives.  2048-replicate chunks at genome
@@ -739,38 +758,113 @@ def _stack_stat(oh_table, sigma8, seg_g0, seg_off, seg_n, bounds, fbar, t3,
     equivalent unit is one work-queue pull per point per round,
     scan-chromosome.c:469-487).
 
-    Segment slot layout: site k=0 is a reserved always-zero row (so a
-    bound of 0 reads an exact zero prefix); site k in [1, w_seg_p) holds
-    the group-aligned site k-1, of which [off+1, off+n] are the real
-    chromosome sites.  sigma8: [n_slices*sub_rep, n_sig] group-level
-    permutation indices (sentinel-padded); seg_g0/seg_off/seg_n: [n_seg]
-    per-segment start group, alignment offset, real site count (0 for
-    padding segments).
+    Segment slot layout (round 5 — no mask, no pad): the slab gathers
+    G_loc = w_seg_p / PERM_GROUP whole permuted groups starting ONE
+    group before the chromosome's first (seg_g0 - 1; a negative index
+    reads the sentinel column), so real local site k sits at flat row
+    PERM_GROUP + off + k.  The leading rows (sentinel zeros + the
+    alignment spill of the PREVIOUS chromosome's attributes) and any
+    trailing spill contribute per-(segment, replicate, row) CONSTANTS to
+    the prefix stream; the statistic consumes only prefix DIFFERENCES
+    between bounds of one candidate, so they cancel EXACTLY (integer
+    counts; ~ulp-level in the compressed f32 mode) — round 4 spent two
+    full [S*w, P*R] relayout passes (a pad and a where) zeroing what
+    cancellation already removes (47%% of the kernel wall,
+    bench/micro_stack.py).  Bound index = slot*w_seg_p + PERM_GROUP - 1
+    + off + b (the rebuild bakes the base in).  sigma8:
+    [n_slices*sub_rep, n_sig] group-level permutation indices
+    (sentinel-padded); seg_g0/seg_off/seg_n: [n_seg] per-segment start
+    group, alignment offset, real site count (seg_off/seg_n are retained
+    for shape/signature stability; the kernel no longer reads them).
     """
-    G_loc = -(-(w_seg_p - 1) // PERM_GROUP)
+    del seg_off, seg_n  # constants cancel in bound differences
+    G_loc = w_seg_p // PERM_GROUP
     n_sig = sigma8.shape[1]
-    idx8 = seg_g0[:, None] + jnp.arange(G_loc, dtype=jnp.int32)[None, :]
-    k = jnp.arange(w_seg_p, dtype=jnp.int32)[None, :]
-    site_ok = (k >= seg_off[:, None] + 1) & (
-        k <= seg_off[:, None] + seg_n[:, None]
-    )  # [S, w_seg_p]
+    idx8 = (
+        seg_g0[:, None]
+        + jnp.arange(G_loc, dtype=jnp.int32)[None, :] - 1
+    )
+    idx8 = jnp.where(idx8 < 0, n_sig - 1, idx8)  # sentinel column
 
     def one_slice(sig):  # [sub_rep, n_sig]
         sel = sig.T[idx8]  # [S, G_loc, P] row gather of sigma columns
         oh = oh_table[sel]  # [S, G_loc, P, PERM_GROUP*R] i8 row gather
         oh = oh.reshape(n_seg, G_loc, sub_rep, PERM_GROUP, n_rows)
         oh = oh.transpose(0, 1, 3, 2, 4).reshape(
-            n_seg, G_loc * PERM_GROUP, sub_rep, n_rows
-        )[:, : w_seg_p - 1]
-        oh = jnp.pad(oh, ((0, 0), (1, 0), (0, 0), (0, 0)))
-        oh = jnp.where(
-            site_ok[:, :, None, None], oh, jnp.zeros((), oh.dtype)
+            n_seg, w_seg_p, sub_rep, n_rows
         )
         ps = build_prefix_sums_seg(
             oh.reshape(n_seg * w_seg_p, sub_rep * n_rows), seg_len=w_seg_p
         )
         clr = hist_clr_reps_ps(
             t3, bounds, fbar, ps, n_rep=sub_rep,
+            n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=32,
+            mm_bf16=mm_bf16,
+        )  # [P, n_pts*Jf, A]
+        return clr.reshape(sub_rep, n_pts, Jf * n_alpha).max(axis=2)
+
+    out = jax.lax.map(
+        one_slice, sigma8.reshape(n_slices, sub_rep, n_sig)
+    )
+    return out.reshape(n_slices * sub_rep, n_pts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "gw", "n_seg", "n_rows", "n_cells", "n_alpha",
+        "sub_rep", "n_slices", "n_pts", "Jf", "mm_bf16",
+    ),
+)
+def _stack_stat_g(gsum_table, sigma8, seg_g0, seg_gn, bounds_g, fbar, t3,
+                  *, gw, n_seg, n_rows, n_cells, n_alpha,
+                  sub_rep, n_slices, n_pts, Jf, mm_bf16=False):
+    """Group-granular statistic maxima for stacked segments; [R, n_pts].
+
+    The GROUP-level rewrite of _stack_stat (round 5): the site-level
+    pipeline's wall was 47% transpose/mask and 34% one-hot gather
+    (bench/micro_stack.py), all of it relayout traffic on a [sites,
+    P*rows] stream whose only consumers are prefix DIFFERENCES at the
+    candidate bounds.  With bounds snapped to permutation-group
+    boundaries (ops/histclr.py _device_points quantum/qoff), the
+    statistic needs prefixes only at group resolution, so each replicate
+    gathers the [G+1, R] per-group row-SUM table (make_group_sum_table —
+    PERM_GROUP x fewer bytes than the one-hot rows, and the gathered
+    [S, gw, P, R] layout feeds the segmented prefix DIRECTLY, no
+    transpose), runs a gw-length segmented prefix (PERM_GROUP x fewer
+    rows), and reuses hist_clr_reps_ps unchanged on group-unit bounds.
+
+    Window counts differ from the site-level statistic only by the
+    <= PERM_GROUP/2-site boundary snap — the identical functional scores
+    observed thresholds and null replicates, so the Monte-Carlo test is
+    exact as always; the snap's detection-power impact is bounded by the
+    position-grid ladder (PARITY.md round 5) since it perturbs windows
+    by ~100x less than the 16.7 kb statistic pitch.
+
+    Layout: per segment, gw flat group slots; slot row 0 is reserved
+    always-zero (a bound of 0 reads an exact zero prefix); row j in
+    [1, gw) holds genome group seg_g0 + j - 1 (rows past seg_gn read the
+    sentinel).  bounds_g index the flat axis (slot * gw + j).  The
+    leading-partial-group and previous-chromosome contributions are
+    per-segment constants that cancel in the bound differences.
+    """
+    G_in = gsum_table.shape[0] - 1  # sentinel row index
+    n_sig = sigma8.shape[1]
+    j = jnp.arange(gw, dtype=jnp.int32)[None, :]
+    idxg = seg_g0[:, None] + j - 1  # [S, gw]
+    valid = (j >= 1) & (j <= seg_gn[:, None])
+    idxg = jnp.where(valid, jnp.clip(idxg, 0, n_sig - 1), n_sig - 1)
+
+    def one_slice(sig):  # [sub_rep, n_sig]
+        sel = sig.T[idxg]  # [S, gw, P] gather of sigma columns
+        sel = jnp.where(valid[:, :, None], sel, jnp.int32(G_in))
+        gs = gsum_table[sel]  # [S, gw, P, R] i8 row gather
+        ps = build_prefix_sums_seg(
+            gs.reshape(n_seg * gw, sub_rep * n_rows), seg_len=gw,
+            out_dtype=jnp.int32,
+        )
+        clr = hist_clr_reps_ps(
+            t3, bounds_g, fbar, ps, n_rep=sub_rep,
             n_cells=n_cells, n_rows=n_rows, n_alpha=n_alpha, c_sub=32,
             mm_bf16=mm_bf16,
         )  # [P, n_pts*Jf, A]
@@ -855,6 +949,31 @@ def _sharded_stack_fn(mesh, w_seg_p, n_seg, n_rows, n_cells, n_alpha,
 
 
 @functools.lru_cache(maxsize=None)
+def _sharded_stack_g_fn(mesh, gw, n_seg, n_rows, n_cells, n_alpha,
+                        sub_rep, n_slices, n_pts, Jf, mm_bf16):
+    """Jitted shard_map of _stack_stat_g (group-granular statistic):
+    replicates shard over the mesh, tables/geometry replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    spec = P(("perm", "site"))
+
+    def local(gsum_table, sig, seg_g0, seg_gn, bounds_g, fbar, t3):
+        return _stack_stat_g(
+            gsum_table, sig, seg_g0, seg_gn, bounds_g, fbar, t3,
+            gw=gw, n_seg=n_seg, n_rows=n_rows, n_cells=n_cells,
+            n_alpha=n_alpha, sub_rep=sub_rep, n_slices=n_slices,
+            n_pts=n_pts, Jf=Jf, mm_bf16=mm_bf16,
+        )
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, spec, rep, rep, rep, rep, rep),
+        out_specs=spec,
+    ))
+
+
+@functools.lru_cache(maxsize=None)
 def _sharded_lattice_fn(mesh, grid_points, chunk, start, n, w_pad,
                         eval_range, n_pts, J):
     """Jitted shard_map of _permute_batch_chr (lattice fallback path):
@@ -904,6 +1023,16 @@ def _sub_rep_for(ht, n_seg_pad, w_seg_p):
     while p > 1 and (
         n_seg_pad * w_seg_p * p * ht.n_rows * bpe > ps_budget
     ):
+        p //= 2
+    return p
+
+
+def _sub_rep_for_g(ht, n_seg_pad, gw):
+    """Group-granular variant: the [S*gw, P*R] int32 prefix is PERM_GROUP
+    x shorter than the site stream, so larger replicate slices fit."""
+    ps_budget = _budget_rates()["ps_budget"]
+    p = HIST_REP_SUB * 2
+    while p > 1 and n_seg_pad * gw * p * ht.n_rows * 5 > ps_budget:
         p //= 2
     return p
 
@@ -960,17 +1089,21 @@ class _StackGroup:
     so late pruning rounds run on small shapes.
     """
 
-    def __init__(self, ht, w_seg_p, segs, eval_range, Jf):
+    def __init__(self, ht, w_seg_p, segs, eval_range, Jf, gmode=False):
         self.ht = ht
         self.w_seg_p = w_seg_p
         self.segs = segs  # [(chr_index, start, n, pos_np, dev_arrays)]
         self.eval_range = eval_range
         self.Jf = Jf
+        self.gmode = gmode  # group-granular statistic (_stack_stat_g)
+        # flat group slots per segment (row 0 reserved), padded to the
+        # Pallas prefix tile so the segmented kernel applies
+        self.gw = -(-(w_seg_p // PERM_GROUP + 2) // 512) * 512
         self.pts = None  # active point ids in geometry order
         self.n_pts_pad = 0
         self.n_seg_pad = 0
         self.bounds = self.fbar = None
-        self.seg_g0 = self.seg_off = self.seg_n = None
+        self.seg_g0 = self.seg_off = self.seg_n = self.seg_gn = None
         self.sub_rep = HIST_REP_SUB
 
     def rebuild(self, result, pts_by_chr):
@@ -996,11 +1129,13 @@ class _StackGroup:
         g0 = np.zeros(S_pad, np.int32)
         off = np.zeros(S_pad, np.int32)
         nn = np.zeros(S_pad, np.int32)
+        gn = np.zeros(S_pad, np.int32)
         b_parts, f_parts, pts_all = [], [], []
         for slot, (c, start, n, pos_np, dev) in enumerate(live):
             g0[slot] = start // PERM_GROUP
             off[slot] = start - g0[slot] * PERM_GROUP
             nn[slot] = n
+            gn[slot] = (off[slot] + n - 1) // PERM_GROUP + 1
             pts = pts_by_chr[c]
             # pad the candidate count to the stack-wide pow2 class so
             # geometry builds share ONE compiled shape per rebuild
@@ -1008,14 +1143,34 @@ class _StackGroup:
             cand = np.pad(
                 _fine_cand(result, pts, Jf), (0, (n_cp - len(pts)) * Jf)
             )
-            hp = build_hist_points(
-                ht, pos_np, cand,
-                self.eval_range, cand_pad=Jf, device_arrays=dev,
-            )
-            base = slot * self.w_seg_p + int(off[slot])
-            b_parts.append(
-                hp.bounds[: len(pts) * Jf] + jnp.int32(base)
-            )
+            if self.gmode:
+                # bounds snapped to genome permutation-group boundaries
+                # and expressed in flat GROUP units (slot*gw + j); the
+                # per-segment constants cancel in the bound differences
+                hp = build_hist_points(
+                    ht, pos_np, cand, self.eval_range, cand_pad=Jf,
+                    device_arrays=dev, quantum=PERM_GROUP,
+                    qoff=int(off[slot]),
+                )
+                bq = hp.bounds[: len(pts) * Jf]
+                b_parts.append(
+                    (bq + jnp.int32(off[slot])) // PERM_GROUP
+                    + jnp.int32(slot * self.gw)
+                )
+            else:
+                hp = build_hist_points(
+                    ht, pos_np, cand,
+                    self.eval_range, cand_pad=Jf, device_arrays=dev,
+                )
+                # flat row of local site k is PERM_GROUP + off + k
+                # (_stack_stat's no-mask slab layout); bound b reads the
+                # inclusive prefix through site b-1
+                base = (
+                    slot * self.w_seg_p + PERM_GROUP - 1 + int(off[slot])
+                )
+                b_parts.append(
+                    hp.bounds[: len(pts) * Jf] + jnp.int32(base)
+                )
             f_parts.append(hp.fbar[: len(pts) * Jf])
             pts_all.append(pts)
         self.pts = (
@@ -1041,10 +1196,19 @@ class _StackGroup:
         self.seg_g0 = jnp.asarray(g0)
         self.seg_off = jnp.asarray(off)
         self.seg_n = jnp.asarray(nn)
-        self.sub_rep = _sub_rep_for(ht, S_pad, self.w_seg_p)
+        self.seg_gn = jnp.asarray(gn)
+        self.sub_rep = (
+            _sub_rep_for_g(ht, S_pad, self.gw) if self.gmode
+            else _sub_rep_for(ht, S_pad, self.w_seg_p)
+        )
 
     def slice_cost_s(self):
         """Rough per-replicate-slice wall estimate (dispatch budgeting)."""
+        if self.gmode:
+            return _slice_cost_for(
+                self.ht, self.n_seg_pad, 4 * self.gw, self.n_pts_pad,
+                self.Jf, self.sub_rep,
+            )
         return _slice_cost_for(
             self.ht, self.n_seg_pad, self.w_seg_p, self.n_pts_pad,
             self.Jf, self.sub_rep,
@@ -1065,8 +1229,11 @@ class _StackGroup:
         S_pad = _ladder_pad(max(len(chrs), 1))
         n_pts_pad = _pad_pow2(max(n_act, 1), minimum=4)
         n_cp = _pad_pow2(int(counts.max()), minimum=4)
-        return (S_pad, n_pts_pad,
-                _sub_rep_for(self.ht, S_pad, self.w_seg_p), n_cp)
+        sub = (
+            _sub_rep_for_g(self.ht, S_pad, self.gw) if self.gmode
+            else _sub_rep_for(self.ht, S_pad, self.w_seg_p)
+        )
+        return (S_pad, n_pts_pad, sub, n_cp)
 
 
 def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
@@ -1103,11 +1270,29 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     )
     assert ht is not None  # caller gated on hist_supported + geometry
     row_cg = jnp.asarray(ht.row_map[np.asarray(data.row)].astype(np.int32))
-    oh_table = (
-        make_row_onehot_group_table(row_cg, n_rows=ht.n_rows)
-        if ht.weights is None
-        else make_row_weight_group_table(row_cg, ht.weights)
+    # group-granular statistic (round 5, _stack_stat_g): exact one-hot
+    # mode only — compressed f32 weight channels have no integer group
+    # sums.  The group path replaces the one-hot table with the
+    # PERM_GROUP x smaller per-group sum table.
+    gmode = (
+        ht.weights is None and GROUP_STAT
+        and min(
+            (cl.n_snps for cl in data.chr_limits if cl.n_snps > 0),
+            default=0,
+        ) >= GROUP_STAT_MIN_SITES
     )
+    if gmode:
+        from ..ops.histclr import make_group_sum_table
+
+        oh_table = make_group_sum_table(
+            row_cg, n_rows=ht.n_rows, pg=PERM_GROUP
+        )
+    else:
+        oh_table = (
+            make_row_onehot_group_table(row_cg, n_rows=ht.n_rows)
+            if ht.weights is None
+            else make_row_weight_group_table(row_cg, ht.weights)
+        )
     gpos = data.genome_pos()
     width_bp = cfg.scan_width_mb * 1e6
     n_groups = oh_table.shape[0] - 1  # sentinel row index
@@ -1126,7 +1311,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     for c, cl in enumerate(data.chr_limits):
         if cl.n_snps == 0 or not (result.chr_id == c).any():
             continue
-        w_seg_p = -(-(cl.n_snps + PERM_GROUP + 1) // 4096) * 4096
+        w_seg_p = -(-(cl.n_snps + 2 * PERM_GROUP) // 4096) * 4096
         sl = slice(cl.start_index, cl.start_index + cl.n_snps)
         pos_np = np.asarray(data.pos[sl])
         from .scan import get_hist_device_arrays
@@ -1136,18 +1321,18 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
              get_hist_device_arrays(data, ht, pos_np, cl.start_index))
         )
     stacks = [
-        _StackGroup(ht, w, segs, scan_cfg.eval_range, Jf)
+        _StackGroup(ht, w, segs, scan_cfg.eval_range, Jf, gmode=gmode)
         for w, segs in sorted(by_len.items())
     ]
     logmsg(MSG_DEBUG, "hist tables: %.1fs", _time.monotonic() - _tt)
 
-    # sigma sentinel margin: each segment's group window reaches
-    # g0 + ceil((w_seg_p - 1) / PERM_GROUP)
+    # sigma sentinel margin: each segment's group slab reaches
+    # g0 + w_seg_p/PERM_GROUP - 2 (site mode, which starts one group
+    # early) or g0 + gw - 2 (group mode)
     margin = 2 + max(
         (
             seg[1] // PERM_GROUP
-            + -(-(st.w_seg_p - 1) // PERM_GROUP)
-            + 1
+            + max(st.w_seg_p // PERM_GROUP, st.gw) - 1
             - n_groups
             for st in stacks
             for seg in st.segs
@@ -1265,7 +1450,7 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     # second model/dataset in the same process with colliding dims must
     # not silently skip warms for programs never compiled (ADVICE r3)
     _geom_key = (ht.n_cells, ht.n_rows, ht.n_alpha, Jf, cfg.hist_bf16,
-                 n_sig_pad, str(oh_table.dtype))
+                 n_sig_pad, str(oh_table.dtype), gmode)
 
     def _stack_key(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
                    sharded=False):
@@ -1277,31 +1462,53 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         key = _stack_key(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
                          sharded)
 
+        gw = -(-(w_seg_p // PERM_GROUP + 2) // 512) * 512
+
         def fn():
             i32 = jnp.int32
             seg = _sds((n_seg_pad,), i32)
             b_sds = _sds((n_pts_pad * Jf, 2, ht.n_cells + 1), i32)
             f_sds = _sds((n_pts_pad * Jf, 2, ht.n_cells), jnp.float32)
+            sig_sds = _sds(
+                (n_slices * sub_rep * (mesh.size if sharded else 1),
+                 n_sig_pad), jnp.int32,
+            )
             if sharded:
                 # warm the EXACT jitted shard_map callable the sharded
                 # dispatch runs (lru-cached on (mesh, dims)): lowering with
                 # the GLOBAL sigma shape compiles the SPMD executable into
                 # the same jit cache the dispatch hits (VERDICT r4 item 5)
+                if gmode:
+                    f = _sharded_stack_g_fn(
+                        mesh, gw, n_seg_pad, ht.n_rows, ht.n_cells,
+                        ht.n_alpha, sub_rep, n_slices, n_pts_pad, Jf,
+                        cfg.hist_bf16,
+                    )
+                    f.lower(
+                        _oh_sds, sig_sds, seg, seg, b_sds, f_sds, _t3_sds,
+                    ).compile()
+                    return
                 f = _sharded_stack_fn(
                     mesh, w_seg_p, n_seg_pad, ht.n_rows, ht.n_cells,
                     ht.n_alpha, sub_rep, n_slices, n_pts_pad, Jf,
                     cfg.hist_bf16,
                 )
                 f.lower(
-                    _oh_sds,
-                    _sds((n_slices * sub_rep * mesh.size, n_sig_pad),
-                         jnp.int32),
-                    seg, seg, seg, b_sds, f_sds, _t3_sds,
+                    _oh_sds, sig_sds, seg, seg, seg, b_sds, f_sds,
+                    _t3_sds,
+                ).compile()
+                return
+            if gmode:
+                _stack_stat_g.lower(
+                    _oh_sds, sig_sds, seg, seg, b_sds, f_sds, _t3_sds,
+                    gw=gw, n_seg=n_seg_pad, n_rows=ht.n_rows,
+                    n_cells=ht.n_cells, n_alpha=ht.n_alpha,
+                    sub_rep=sub_rep, n_slices=n_slices, n_pts=n_pts_pad,
+                    Jf=Jf, mm_bf16=cfg.hist_bf16,
                 ).compile()
                 return
             _stack_stat.lower(
-                _oh_sds,
-                _sds((n_slices * sub_rep, n_sig_pad), jnp.int32),
+                _oh_sds, sig_sds,
                 seg, seg, seg, b_sds, f_sds,
                 _t3_sds,
                 w_seg_p=w_seg_p, n_seg=n_seg_pad, n_rows=ht.n_rows,
@@ -1339,8 +1546,12 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         """Per-dispatch slice counts this chunk would use at these dims."""
         q = sub_rep * nshard
         slices_total = (-(-R // q) * q) // q
+        w_eff = (
+            4 * (-(-(w_seg_p // PERM_GROUP + 2) // 512) * 512)
+            if gmode else w_seg_p
+        )
         m = _plan_m(
-            _slice_cost_for(ht, n_seg_pad, w_seg_p, n_pts_pad, Jf, sub_rep)
+            _slice_cost_for(ht, n_seg_pad, w_eff, n_pts_pad, Jf, sub_rep)
         )
         return _plan_ds(slices_total, m)
 
@@ -1370,15 +1581,16 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             sig = tuple(
                 (tuple(a.shape), str(a.dtype)) for a in dev[:-1]
             )
-            key = ("points", sig, C, dev[-1], ht.n_cells)
+            quantum = PERM_GROUP if gmode else 0
+            key = ("points", sig, C, dev[-1], ht.n_cells, quantum)
 
-            def fn(dev=dev, C=C):
+            def fn(dev=dev, C=C, quantum=quantum):
                 sds = jax.ShapeDtypeStruct
                 args = [sds(a.shape, a.dtype) for a in dev[:-1]]
                 ci = sds((C,), jnp.int32)
                 _device_points.lower(
                     *args, ci, ci, ci, ci,
-                    n_cells=ht.n_cells, qbits=dev[-1],
+                    n_cells=ht.n_cells, qbits=dev[-1], quantum=quantum,
                 ).compile()
 
             warm.submit(key, fn)
@@ -1397,6 +1609,15 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             # instance's or the pipeline prewarm's): block on it instead
             # of compiling the same HLO a second time through the tunnel
             warm.wait(key)
+        if gmode:
+            return _stack_stat_g(
+                oh_table, sig, st.seg_g0, st.seg_gn,
+                st.bounds, st.fbar, ht.t3,
+                gw=st.gw, n_seg=st.n_seg_pad, n_rows=ht.n_rows,
+                n_cells=ht.n_cells, n_alpha=ht.n_alpha,
+                sub_rep=st.sub_rep, n_slices=n_slices,
+                n_pts=st.n_pts_pad, Jf=Jf, mm_bf16=cfg.hist_bf16,
+            )
         return _stack_stat(
             oh_table, sig, st.seg_g0, st.seg_off, st.seg_n,
             st.bounds, st.fbar, ht.t3,
@@ -1415,6 +1636,14 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         )
         if warm.known(key):
             warm.wait(key)
+        if gmode:
+            f = _sharded_stack_g_fn(
+                mesh, st.gw, st.n_seg_pad, ht.n_rows, ht.n_cells,
+                ht.n_alpha, st.sub_rep, n_slices, st.n_pts_pad, Jf,
+                cfg.hist_bf16,
+            )
+            return f(oh_table, sig_global, st.seg_g0, st.seg_gn,
+                     st.bounds, st.fbar, ht.t3)
         f = _sharded_stack_fn(
             mesh, st.w_seg_p, st.n_seg_pad, ht.n_rows, ht.n_cells,
             ht.n_alpha, st.sub_rep, n_slices, st.n_pts_pad, Jf,
@@ -1581,9 +1810,13 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 )
                 for k in _points_keys(st, n_cp):
                     warm.wait(k)
+                # under the group statistic, quantize identically so the
+                # RDP functional matches the stacked group functional
                 hp = build_hist_points(
                     ht, pos_np, cand, scan_cfg.eval_range,
                     cand_pad=Jf, device_arrays=dev,
+                    quantum=PERM_GROUP if gmode else 0,
+                    qoff=int(start % PERM_GROUP) if gmode else 0,
                 )
                 parts_b.append(
                     hp.bounds[: len(pts) * Jf] + jnp.int32(start)
@@ -1907,24 +2140,33 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
     n_rows = ht.n_rows
     W = int(data.n_snps)
     n_groups = -(-W // PERM_GROUP) if W else 1
+    gmode = (
+        ht.weights is None and GROUP_STAT
+        and min(
+            (cl.n_snps for cl in data.chr_limits if cl.n_snps > 0),
+            default=0,
+        ) >= GROUP_STAT_MIN_SITES
+    )
     oh_dt = jnp.int8 if ht.weights is None else jnp.float32
-    oh_cols = PERM_GROUP * n_rows
+    oh_cols = n_rows if gmode else PERM_GROUP * n_rows
 
     # mirror _scan_permute_hist's stack construction (shapes only)
     by_len: dict = {}
     for cl in data.chr_limits:
         if cl.n_snps == 0:
             continue
-        w_seg_p = -(-(cl.n_snps + PERM_GROUP + 1) // 4096) * 4096
+        w_seg_p = -(-(cl.n_snps + 2 * PERM_GROUP) // 4096) * 4096
         n_int = chromosome_candidates(cl, scan_cfg)[0].shape[0]
         by_len.setdefault(w_seg_p, []).append((cl, n_int))
     margin = 2
     for w_seg_p, segs in by_len.items():
+        gw_m = -(-(w_seg_p // PERM_GROUP + 2) // 512) * 512
         for cl, _ in segs:
             margin = max(
                 margin,
                 2 + cl.start_index // PERM_GROUP
-                + -(-(w_seg_p - 1) // PERM_GROUP) + 1 - n_groups,
+                + max(w_seg_p // PERM_GROUP, gw_m) - 1
+                - n_groups,
             )
     n_sig_pad = n_groups + margin
 
@@ -1933,10 +2175,12 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
     # key scheme MUST match _scan_permute_hist's exactly: a finished
     # prewarm marks the driver's later submit() a no-op via _done_keys
     _geom_key = (ht.n_cells, n_rows, ht.n_alpha, Jf, cfg.hist_bf16,
-                 n_sig_pad, str(jnp.dtype(oh_dt)))
+                 n_sig_pad, str(jnp.dtype(oh_dt)), gmode)
 
     def _warm_stack(w_seg_p, n_seg_pad, n_pts_pad, sub_rep, n_slices,
                     sharded=False):
+        gw = -(-(w_seg_p // PERM_GROUP + 2) // 512) * 512
+
         def fn():
             i32 = jnp.int32
             seg = _sds((n_seg_pad,), i32)
@@ -1944,22 +2188,41 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
             b_sds = _sds((n_pts_pad * Jf, 2, ht.n_cells + 1), i32)
             f_sds = _sds((n_pts_pad * Jf, 2, ht.n_cells), jnp.float32)
             t3_sds = _sds(ht.t3.shape, ht.t3.dtype)
+            sig_sds = _sds(
+                (n_slices * sub_rep * (mesh.size if sharded else 1),
+                 n_sig_pad), jnp.int32,
+            )
             if sharded:
+                if gmode:
+                    f = _sharded_stack_g_fn(
+                        mesh, gw, n_seg_pad, n_rows, ht.n_cells,
+                        ht.n_alpha, sub_rep, n_slices, n_pts_pad, Jf,
+                        cfg.hist_bf16,
+                    )
+                    f.lower(
+                        oh_sds, sig_sds, seg, seg, b_sds, f_sds, t3_sds,
+                    ).compile()
+                    return
                 f = _sharded_stack_fn(
                     mesh, w_seg_p, n_seg_pad, n_rows, ht.n_cells,
                     ht.n_alpha, sub_rep, n_slices, n_pts_pad, Jf,
                     cfg.hist_bf16,
                 )
                 f.lower(
-                    oh_sds,
-                    _sds((n_slices * sub_rep * mesh.size, n_sig_pad),
-                         jnp.int32),
-                    seg, seg, seg, b_sds, f_sds, t3_sds,
+                    oh_sds, sig_sds, seg, seg, seg, b_sds, f_sds, t3_sds,
+                ).compile()
+                return
+            if gmode:
+                _stack_stat_g.lower(
+                    oh_sds, sig_sds, seg, seg, b_sds, f_sds, t3_sds,
+                    gw=gw, n_seg=n_seg_pad, n_rows=n_rows,
+                    n_cells=ht.n_cells, n_alpha=ht.n_alpha,
+                    sub_rep=sub_rep, n_slices=n_slices, n_pts=n_pts_pad,
+                    Jf=Jf, mm_bf16=cfg.hist_bf16,
                 ).compile()
                 return
             _stack_stat.lower(
-                oh_sds,
-                _sds((n_slices * sub_rep, n_sig_pad), jnp.int32),
+                oh_sds, sig_sds,
                 seg, seg, seg, b_sds, f_sds, t3_sds,
                 w_seg_p=w_seg_p, n_seg=n_seg_pad, n_rows=n_rows,
                 n_cells=ht.n_cells, n_alpha=ht.n_alpha, sub_rep=sub_rep,
@@ -1992,7 +2255,8 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
             ((ht.n_cells,), "int32"),
             ((nb_pad, 1 + _SLAB_K), "int32"),
         )
-        key = ("points", sig, C, qb, ht.n_cells)
+        quantum = PERM_GROUP if gmode else 0
+        key = ("points", sig, C, qb, ht.n_cells, quantum)
 
         def fn():
             i32 = jnp.int32
@@ -2003,7 +2267,7 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
                 _sds((ht.n_cells,), i32),
                 _sds((nb_pad, 1 + _SLAB_K), i32),
                 ci, ci, ci, ci,
-                n_cells=ht.n_cells, qbits=qb,
+                n_cells=ht.n_cells, qbits=qb, quantum=quantum,
             ).compile()
 
         warm.submit(key, fn)
@@ -2046,7 +2310,11 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
         S_pad = _ladder_pad(len(segs))
         n_pts = sum(n for _, n in segs)
         n_pts_pad = _pad_pow2(max(n_pts, 1), minimum=4)
-        sub_rep = _sub_rep_for(ht, S_pad, w_seg_p)
+        gw_pre = -(-(w_seg_p // PERM_GROUP + 2) // 512) * 512
+        sub_rep = (
+            _sub_rep_for_g(ht, S_pad, gw_pre) if gmode
+            else _sub_rep_for(ht, S_pad, w_seg_p)
+        )
         _warm_stack(w_seg_p, S_pad, n_pts_pad, 1, 1)  # threshold pass
         geo = set()
         for cl, _ in segs:
@@ -2062,8 +2330,9 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
         for rung in range(5):
             for d in set(_plan_ds(
                 (-(-R0 // q0) * q0) // q0,
-                _plan_m(_slice_cost_for(ht, S_pad, w_seg_p, p, Jf,
-                                        sub_rep)),
+                _plan_m(_slice_cost_for(
+                    ht, S_pad, 4 * gw_pre if gmode else w_seg_p, p, Jf,
+                    sub_rep)),
             )):
                 _warm_stack(w_seg_p, S_pad, p, sub_rep, d,
                             sharded=nshard0 > 1)

@@ -921,7 +921,7 @@ def prewarm_scan(data, tables, cfg: ScanConfig):
             ((ht_x.n_cells,), "int32"),
             ((nb_pad, 1 + _SLAB_K), "int32"),
         )
-        key = ("points", sig, C, qb, ht_x.n_cells)
+        key = ("points", sig, C, qb, ht_x.n_cells, 0)
 
         def fn():
             i32 = jnp.int32

@@ -352,9 +352,13 @@ def _block_search(block_tab, qbits, q):
 _POINTS_CHUNK = 256  # candidate chunk: bounds the [chunk*NC, K] slab temp
 
 
-@functools.partial(jax.jit, static_argnames=("n_cells", "qbits"))
+@functools.partial(
+    jax.jit, static_argnames=("n_cells", "qbits", "quantum")
+)
 def _device_points(pos_i32, ps_hl, d_ceil, block_tab,
-                   cand, lo, hi, sp, *, n_cells, qbits):
+                   cand, lo, hi, sp, *, n_cells, qbits, quantum=0, qoff=0):
+    # qoff is TRACED (a per-chromosome value; a static arg would compile
+    # one geometry program per distinct chromosome alignment)
     """Run boundaries + run-mean fractions, computed on device.
 
     All inputs are small uploads (the [W]-sized arrays are chromosome-
@@ -364,6 +368,20 @@ def _device_points(pos_i32, ps_hl, d_ceil, block_tab,
     pos >= c + D_i  <=>  pos >= c + ceil(D_i)  (both for integer and
     non-integer D_i).  Candidates process in _POINTS_CHUNK chunks so the
     slab-gather temporary stays bounded (its [*, K] layout tile-pads 8x).
+
+    quantum > 0 (the permutation statistic's group-level path): every
+    bound — including the window clamps — is snapped so that (bound +
+    qoff) is a multiple of ``quantum`` sites (round-to-nearest for cell
+    boundaries, inward for the window edges so bounds stay inside the
+    chromosome).  qoff = chromosome start_index % quantum aligns the
+    CHROMOSOME-LOCAL bounds to GENOME permutation-group boundaries, so
+    the consumer reads prefix sums at group granularity — no site-level
+    permuted stream at all (engine/permute.py _stack_stat_g).  Cell
+    boundaries shift by <= quantum/2 sites, a tiny perturbation of the
+    statistic that applies IDENTICALLY to observed thresholds and null
+    replicates (the decimation/run-mean validity argument).  fbar is
+    computed from the QUANTIZED bounds, so the run-mean lerp stays
+    consistent with the actual run contents.
     """
     NC = n_cells
     C = cand.shape[0]
@@ -381,8 +399,37 @@ def _device_points(pos_i32, ps_hl, d_ceil, block_tab,
         qR = cand_c[:, None] + d_ceil[None, :]
         BL = _block_search(block_tab, qbits, qL)
         BR = _block_search(block_tab, qbits, qR)
-        BL = jnp.clip(BL, lo_c[:, None], sp_c[:, None]).astype(jnp.int32)
-        BR = jnp.clip(BR, sp_c[:, None], hi_c[:, None] + 1).astype(jnp.int32)
+        if quantum:
+            g = jnp.int32(quantum)
+            o = jnp.int32(qoff)
+            half = jnp.int32(quantum // 2)
+
+            def ceil_q(x):
+                return (x + o + g - 1) // g * g - o
+
+            def floor_q(x):
+                return (x + o) // g * g - o
+
+            def round_q(x):
+                return (x + o + half) // g * g - o
+
+            lo_q = ceil_q(lo_c)  # inward
+            hi1_q = floor_q(hi_c + 1)  # inward
+            sp_q = jnp.clip(round_q(sp_c), lo_q, hi1_q)
+            BL = jnp.clip(
+                round_q(BL), lo_q[:, None], sp_q[:, None]
+            ).astype(jnp.int32)
+            BR = jnp.clip(
+                round_q(BR), sp_q[:, None], hi1_q[:, None]
+            ).astype(jnp.int32)
+            sp_c = sp_q
+        else:
+            BL = jnp.clip(BL, lo_c[:, None], sp_c[:, None]).astype(
+                jnp.int32
+            )
+            BR = jnp.clip(
+                BR, sp_c[:, None], hi_c[:, None] + 1
+            ).astype(jnp.int32)
         bounds = jnp.concatenate(
             [
                 jnp.concatenate([sp_c[:, None], BL], axis=1)[:, None, :],
@@ -412,7 +459,7 @@ def _device_points(pos_i32, ps_hl, d_ceil, block_tab,
 
 
 def build_hist_points(ht: HistTables, pos_np, cand_pos, eval_range,
-                      cand_pad=64, device_arrays=None):
+                      cand_pad=64, device_arrays=None, quantum=0, qoff=0):
     """Run boundaries + mean-position fractions for a fixed candidate set.
 
     Host does only the O(C) window geometry (exact int64); the O(C * NC)
@@ -421,6 +468,8 @@ def build_hist_points(ht: HistTables, pos_np, cand_pos, eval_range,
 
     device_arrays: optional (pos_pad, ps_hl, d_ceil, ...) reused across
     buckets of the same chromosome (see make_hist_device_arrays).
+    quantum: snap every bound to this site multiple (see _device_points;
+    the group-level permutation statistic).
     """
     pos = np.asarray(pos_np, dtype=np.int64)
     cand = np.asarray(cand_pos, dtype=np.int64)
@@ -448,6 +497,8 @@ def build_hist_points(ht: HistTables, pos_np, cand_pos, eval_range,
         jnp.asarray(sp_p.astype(np.int32)),
         n_cells=NC,
         qbits=device_arrays[-1],
+        quantum=quantum,
+        qoff=qoff,
     )
     logd = jnp.log(jnp.maximum(dbar, 1.0))
     icell = jnp.arange(NC, dtype=jnp.float32)[None, None, :]
@@ -687,6 +738,26 @@ def make_row_onehot_group_table(row_compact, *, n_rows):
     )
 
 
+def make_group_sum_table(row_compact, *, n_rows, pg):
+    """[G+1, n_rows] int8 per-group row-count sums (counts <= pg <= 127).
+
+    The group-level permutation statistic (engine/permute.py
+    _stack_stat_g) gathers THIS table at sigma instead of the
+    [G+1, pg*n_rows] one-hot table: same gather row count, pg x fewer
+    bytes, and the gathered layout needs NO transpose before the
+    segmented prefix (the pg axis is pre-reduced).  Row G is the
+    all-zero sentinel.
+    """
+    W = row_compact.shape[0]
+    G = -(-W // pg) if W else 1
+    oh = (
+        row_compact[:, None] == jnp.arange(n_rows, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    oh = jnp.pad(oh, ((0, G * pg - W), (0, 0)))
+    gs = oh.reshape(G, pg, n_rows).sum(axis=1).astype(jnp.int8)
+    return jnp.pad(gs, ((0, 1), (0, 0)))
+
+
 @jax.jit
 def make_row_weight_group_table(row_compact, weights):
     """[G+1, PERM_GROUP*R] f32 weight table packed PERM_GROUP sites/row.
@@ -725,7 +796,7 @@ def build_prefix_sums_oh(oh2d):
     return jnp.concatenate([jnp.zeros((1, L), body.dtype), body], axis=0)
 
 
-def build_prefix_sums_seg(oh2d, *, seg_len):
+def build_prefix_sums_seg(oh2d, *, seg_len, out_dtype=None):
     """[S*seg_len, L] segmented inclusive prefix sums of an i8 one-hot.
 
     The running count resets at every segment boundary, so S stacked
@@ -740,6 +811,12 @@ def build_prefix_sums_seg(oh2d, *, seg_len):
     the Pallas kernel uses a two-limb compensated carry, and the XLA
     fallback a pairwise associative scan — both keep the summation error
     ~ulp-scale on sqrt(W)-magnitude centered weight streams.
+
+    out_dtype overrides the dtype choice: the default int16-when-
+    seg_len-fits rule assumes 0/1 inputs (counts bounded by the segment
+    length); GROUP-SUM inputs carry up to pg counts per row, so their
+    prefixes are bounded by the underlying SITE count — callers pass
+    int32 (or int16 under the mod-2^16 window-difference guarantee).
     """
     W, L = oh2d.shape
     assert W % seg_len == 0
@@ -749,9 +826,9 @@ def build_prefix_sums_seg(oh2d, *, seg_len):
         and ps_supported(W, L)
         and seg_len % TILE_W == 0
     ):
-        odt = jnp.float32 if is_f else (
+        odt = out_dtype or (jnp.float32 if is_f else (
             jnp.int16 if seg_len <= 32767 else jnp.int32
-        )
+        ))
         return onehot_prefix_sums(oh2d, out_dtype=odt, reset_every=seg_len)
     S = W // seg_len
     if is_f:
@@ -759,7 +836,7 @@ def build_prefix_sums_seg(oh2d, *, seg_len):
             jnp.add, oh2d.reshape(S, seg_len, L).astype(jnp.float32),
             axis=1,
         ).reshape(W, L)
-    idt = jnp.int16 if seg_len <= 32767 else jnp.int32
+    idt = out_dtype or (jnp.int16 if seg_len <= 32767 else jnp.int32)
     body = jnp.cumsum(
         oh2d.reshape(S, seg_len, L).astype(jnp.int32), axis=1
     ).astype(idt)
