@@ -1427,6 +1427,14 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             # immortal points for half the run (VERDICT r3 item 7); the
             # per-chunk fixed costs (sigma program, dispatch round trips,
             # host update) amortize 4x further at 2048-rep chunks
+        if n_act <= HIST_POINT_BUCKET // 8 and rounds_done > 0:
+            b = 128  # deep tail: at PERM_GROUP=32 the sigma cap admits
+            # 4096-rep chunks, halving the drain/dispatch boundaries the
+            # immortal-point phase pays (chunk walls are compute-bound
+            # there; overshoot is bounded by one chunk against
+            # thousands-of-rounds point lifetimes).  Gated on
+            # rounds_done so the FIRST chunk of a tiny run still prunes
+            # before committing 4096 rounds.
         while b > boost_cap:
             b //= 4
         return max(b, 1)

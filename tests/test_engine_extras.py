@@ -279,6 +279,8 @@ def test_gpos_cache_not_fooled_by_id_reuse():
     dev_b, span_b = _group_first_positions(b)
     assert span_b == 15980
     np.testing.assert_array_equal(
-        np.asarray(dev_b), (b[::8] - b[0]).astype(np.int32)
+        np.asarray(dev_b),
+        (b[::__import__("fscl_tpu.ops.permute", fromlist=["PERM_GROUP"])
+         .PERM_GROUP] - b[0]).astype(np.int32)
     )
     _gpos_cache.clear()
