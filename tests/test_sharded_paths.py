@@ -74,6 +74,15 @@ def test_mesh_prewarm_compiles_sharded_programs(dataset):
     import fscl_tpu.engine.permute as pm
     from fscl_tpu.engine import prewarm_scan
     from fscl_tpu.engine.permute import prewarm_hist_permute
+    from fscl_tpu.utils.precompile import Precompiler
+
+    # the warm-dedupe registry is process-wide and other test modules can
+    # compile identically-keyed shapes first, which would make this
+    # prewarm a (correct) no-op — reset so the submission path is
+    # actually exercised regardless of test order
+    with Precompiler._done_lock:
+        Precompiler._done_keys.clear()
+        Precompiler._global_futs.clear()
 
     data, tables, cfg = dataset
     pc = PermuteConfig(n_permute=128, chunk_replicates=32, seed=5)
