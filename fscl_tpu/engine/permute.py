@@ -1436,7 +1436,9 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
             # rounds_done so the FIRST chunk of a tiny run still prunes
             # before committing 4096 rounds.
         while b > boost_cap:
-            b //= 4
+            b //= 2  # clamp to the LARGEST tier inside the sigma cap
+            # (dividing by 4 knocked the 128 tier below 64 and shrank
+            # tail chunks, measured 1024-rep chunks on genome1m)
         return max(b, 1)
 
     # --- background shape warming (utils/precompile.py) -------------------
@@ -1881,6 +1883,12 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     # sigma depends only on (boost, rounds_done) — the speculation is exact
     # unless the drain changes the boost tier (rare; regenerated then).
     sigma_spec = None
+    if active.any() and rounds_done < cfg.n_permute and mesh is None:
+        b_first = _boost(int(active.sum()), rounds_done)
+        if not (rdp_ok and (RDP_FORCE == "on" or _rdp_auto_ok())):
+            sigma_spec = (
+                b_first, rounds_done, _gen_sigma(b_first, rounds_done)
+            )
     try:
         with _InterruptState(dump_fn) as intr:
             while active.any() and rounds_done < cfg.n_permute:
@@ -2368,5 +2376,5 @@ def _boost_levels(n_act, n_groups, cfg):
     if n_act <= HIST_POINT_BUCKET // 8:
         b = 64
     while b > boost_cap:
-        b //= 4
+        b //= 2
     return max(b, 1), boost_cap
