@@ -76,7 +76,29 @@ def main():
     P._stack_stat = _timed(
         "stack_stat", P._stack_stat, sync=lambda r: np.asarray(r[:1, :1])
     )
+    P._stack_stat_g = _timed(
+        "stack_stat_g", P._stack_stat_g, sync=lambda r: np.asarray(r[:1, :1])
+    )
     P._apply_round_updates = _timed("host_updates", P._apply_round_updates)
+    # setup decomposition: geometry rebuilds (with device sync), the
+    # per-chromosome geometry-build dispatches inside them, warm-pool
+    # waits, and the hist-table pack
+    P._StackGroup.rebuild = _timed(
+        "st_rebuild", P._StackGroup.rebuild,
+    )
+    P.build_hist_points = _timed(
+        "build_hist_pts", P.build_hist_points,
+        sync=lambda r: np.asarray(r.bounds[:1, :1, :1]),
+    )
+    from fscl_tpu.utils.precompile import Precompiler
+
+    Precompiler.wait = _timed("warm_wait", Precompiler.wait)
+    from fscl_tpu.engine import scan as S
+
+    S.make_scan_hist_tables = _timed(
+        "hist_tables", S.make_scan_hist_tables
+    )
+    P.make_scan_hist_tables = S.make_scan_hist_tables
 
     n_perm = 4096
     pc = PermuteConfig(n_permute=n_perm, chunk_replicates=32, seed=1)

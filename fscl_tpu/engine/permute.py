@@ -46,6 +46,7 @@ from ..ops.histclr import (
     build_prefix_sums_seg,
     hist_clr_reps_ps,
     hist_supported,
+    make_row_index_group_table,
     make_row_onehot_group_table,
     make_row_weight_group_table,
 )
@@ -127,6 +128,20 @@ GROUP_STAT_MIN_SITES = 16384
 # elements) have run 100k-permutation genomes repeatedly.  Small genomes
 # (few groups) keep the full boost ladder.
 SIGMA_ELEM_CAP = 64_000_000
+# Speculative next-chunk stat dispatch (pruning-tail boundary overlap):
+# the next chunk's statistic dispatches are enqueued BEFORE the current
+# chunk's blocking readback, so the device rolls straight into them
+# during the drain/host-update window.  Kill-switch for A/B and tests;
+# results are bitwise identical either way (replicate rows are pure
+# functions of their absolute stream index).
+STAT_SPEC = __import__("os").environ.get("FSCL_STAT_SPEC", "1") == "1"
+# Thin permuted-stream gather (exact one-hot mode): gather i16 row-id
+# rows (make_row_index_group_table) and expand to one-hot on chip instead
+# of gathering the n_rows x fatter one-hot rows.  The XLA gather is
+# byte-bound at ~26 GB/s (bench/micro_idx.py) — the fat rows were the
+# permutation chunk's dominant cost at genome scale.  Bitwise-identical
+# statistic; kill-switch for A/B.
+THIN_OH = __import__("os").environ.get("FSCL_THIN_OH", "1") == "1"
 
 # dispatch counters for the most recent scan_permute call — tests assert the
 # intended path (e.g. the sharded branch) actually ran, so a config change
@@ -780,6 +795,11 @@ def _stack_stat(oh_table, sigma8, seg_g0, seg_off, seg_n, bounds, fbar, t3,
     del seg_off, seg_n  # constants cancel in bound differences
     G_loc = w_seg_p // PERM_GROUP
     n_sig = sigma8.shape[1]
+    # thin form (make_row_index_group_table): i16 row-id rows expanded to
+    # one-hot on chip — the gather moves n_rows x fewer bytes, clearing
+    # the ~26 GB/s XLA gather byte ceiling (bench/micro_idx.py); exact
+    # one-hot mode only (weight channels have no row identity)
+    thin = oh_table.dtype == jnp.int16
     idx8 = (
         seg_g0[:, None]
         + jnp.arange(G_loc, dtype=jnp.int32)[None, :] - 1
@@ -788,11 +808,23 @@ def _stack_stat(oh_table, sigma8, seg_g0, seg_off, seg_n, bounds, fbar, t3,
 
     def one_slice(sig):  # [sub_rep, n_sig]
         sel = sig.T[idx8]  # [S, G_loc, P] row gather of sigma columns
-        oh = oh_table[sel]  # [S, G_loc, P, PERM_GROUP*R] i8 row gather
-        oh = oh.reshape(n_seg, G_loc, sub_rep, PERM_GROUP, n_rows)
-        oh = oh.transpose(0, 1, 3, 2, 4).reshape(
-            n_seg, w_seg_p, sub_rep, n_rows
-        )
+        if thin:
+            gi = oh_table[sel]  # [S, G_loc, P, PERM_GROUP] i16 row gather
+            gi = gi.transpose(0, 1, 3, 2).reshape(
+                n_seg, w_seg_p, sub_rep
+            )
+            # broadcast-compare expansion; id n_rows (sentinel/pad) hits
+            # no lane -> all-zero row, matching the fat table's padding
+            oh = (
+                gi[..., None]
+                == jnp.arange(n_rows, dtype=gi.dtype)[None, None, None]
+            ).astype(jnp.int8)
+        else:
+            oh = oh_table[sel]  # [S, G_loc, P, PERM_GROUP*R] i8 row gather
+            oh = oh.reshape(n_seg, G_loc, sub_rep, PERM_GROUP, n_rows)
+            oh = oh.transpose(0, 1, 3, 2, 4).reshape(
+                n_seg, w_seg_p, sub_rep, n_rows
+            )
         ps = build_prefix_sums_seg(
             oh.reshape(n_seg * w_seg_p, sub_rep * n_rows), seg_len=w_seg_p
         )
@@ -1287,12 +1319,17 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         oh_table = make_group_sum_table(
             row_cg, n_rows=ht.n_rows, pg=PERM_GROUP
         )
-    else:
+    elif ht.weights is None:
+        # exact one-hot mode: thin i16 row-id rows by default (expanded
+        # on chip inside _stack_stat), fat i8 one-hot rows behind the
+        # kill-switch for A/B
         oh_table = (
-            make_row_onehot_group_table(row_cg, n_rows=ht.n_rows)
-            if ht.weights is None
-            else make_row_weight_group_table(row_cg, ht.weights)
+            make_row_index_group_table(row_cg, n_rows=ht.n_rows)
+            if THIN_OH
+            else make_row_onehot_group_table(row_cg, n_rows=ht.n_rows)
         )
+    else:
+        oh_table = make_row_weight_group_table(row_cg, ht.weights)
     gpos = data.genome_pos()
     width_bp = cfg.scan_width_mb * 1e6
     n_groups = oh_table.shape[0] - 1  # sentinel row index
@@ -1875,6 +1912,79 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
         last_stats["rdp_dispatches"] += 1
         return pts, out
 
+    def _dispatch_stacks(R, sigma_p, shard_now, nshard, allow_rebuild=True):
+        """Enqueue one chunk's statistic dispatches; [(stack, [outs])].
+
+        allow_rebuild=False skips the compaction check (speculative
+        dispatches run on the shapes already built — the sanctioned
+        deferred-rebuild behavior, whose per-point values are
+        shape-independent)."""
+        pending = []
+        for st in stacks:
+            if st.pts is None or not active[st.pts].any():
+                continue
+            if HIST_COMPACT and allow_rebuild:
+                # geometry compaction: rebuild on the active set when
+                # the padded point count at least halves or a rung of
+                # the segment ladder drops — late pruning rounds then
+                # run on small shapes instead of the setup-time padding.
+                # DEFERRED until the new rung's programs are warm
+                # (unsharded path): the old — already compiled — shapes
+                # keep the device busy while the background pool
+                # compiles the rung, so compaction never serializes a
+                # compile into the chunk wall.  The chunk schedule
+                # (boost, R) stays a pure function of the active count,
+                # so permute_n accounting is unchanged by warm timing.
+                pred = st.predict_shape(result, active)
+                if pred is not None and (
+                    2 * pred[1] <= st.n_pts_pad
+                    or pred[0] < st.n_seg_pad
+                ):
+                    rung_warm = (
+                        _warm_rung(
+                            st.w_seg_p, pred[0], pred[1], pred[2],
+                            R, nshard,
+                        )
+                        & _warm_points_for(st, pred[3])
+                    )
+                    # defer only GENTLE rungs: running a chunk on
+                    # 8x-oversized stale geometry costs more than
+                    # blocking on the new rung's compile
+                    if (shard_now or rung_warm
+                            or st.n_pts_pad >= 8 * pred[1]):
+                        st.rebuild(
+                            result, _active_by_chr(st, active)
+                        )
+                    else:
+                        last_stats["hist_deferred_rebuilds"] += 1
+
+            q = st.sub_rep * nshard
+            ds = _plan_stack(st.w_seg_p, st.n_seg_pad, st.n_pts_pad,
+                             st.sub_rep, R, nshard)
+            outs_slices = []
+            r0 = 0
+            for d in ds:
+                Rd = d * q
+                sig = sigma_p[r0 : r0 + Rd]
+                if shard_now:
+                    outs_slices.append(_stat_call_sharded(
+                        st,
+                        to_global(
+                            mesh, sig,
+                            jax.sharding.PartitionSpec(
+                                ("perm", "site")
+                            ),
+                        ),
+                        d,
+                    ))
+                    last_stats["hist_sharded_dispatches"] += 1
+                else:
+                    outs_slices.append(_stat_call(st, sig, d))
+                    last_stats["hist_unsharded_dispatches"] += 1
+                r0 += Rd
+            pending.append((st, outs_slices))
+        return pending
+
     # speculative sigma for the NEXT chunk: (boost, start, device array)
     # enqueued right before the previous chunk's host drain, so the device
     # computes it during the readback + host-update window instead of
@@ -1883,6 +1993,32 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
     # sigma depends only on (boost, rounds_done) — the speculation is exact
     # unless the drain changes the boost tier (rare; regenerated then).
     sigma_spec = None
+    # speculative next-chunk STAT dispatches (pruning-tail regime): the
+    # whole next chunk is enqueued BEFORE the current chunk's blocking
+    # readback, so the device rolls straight into it during the drain +
+    # host-update window instead of idling one tunnel round trip per
+    # chunk boundary.  ((boost, start, R), pending).  Valid because each
+    # replicate row is a pure function of (key, absolute index) and the
+    # statistic a pure function of (sigma, geometry); a chunk speculated
+    # on pre-drain geometry covers a SUPERSET of the surviving points, so
+    # its values for survivors are identical (the deferred-rebuild
+    # guarantee) even when the drain pruned points.  Consumed only when
+    # the schedule matches the prediction exactly and no stack is due a
+    # FORCED compaction (_spec_stale) — so geometry staleness cannot
+    # compound past the dispatch loop's own deferral rules.
+    stat_spec = None
+
+    def _spec_stale():
+        """True when consuming the in-flight speculative chunk would skip
+        a compaction the dispatch loop refuses to defer (8x-oversized
+        stale geometry)."""
+        for st in stacks:
+            if st.pts is None or not active[st.pts].any():
+                continue
+            pred = st.predict_shape(result, active)
+            if pred is not None and st.n_pts_pad >= 8 * pred[1]:
+                return True
+        return False
     if active.any() and rounds_done < cfg.n_permute and mesh is None:
         b_first = _boost(int(active.sum()), rounds_done)
         if not (rdp_ok and (RDP_FORCE == "on" or _rdp_auto_ok())):
@@ -1934,81 +2070,34 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                     and -(-R // rep_step) * rep_step <= 2 * R
                 )
                 nshard = ndev if shard_now else 1
-                if (sigma_spec is not None and sigma_spec[0] == boost
-                        and sigma_spec[1] == rounds_done):
-                    sigma_p = sigma_spec[2]
+                if (stat_spec is not None
+                        and stat_spec[0] == (boost, rounds_done, R)
+                        and not _spec_stale()):
+                    # whole chunk already in flight from the previous
+                    # iteration's speculation; drain it below
+                    pending = stat_spec[1]
+                    sigma_spec = None
+                    last_stats["hist_spec_chunks"] = (
+                        last_stats.get("hist_spec_chunks", 0) + 1
+                    )
                 else:
-                    sigma_p = _gen_sigma(boost, rounds_done)
-                sigma_spec = None
-
-                pending = []  # (stack, [device stats]) — drained after ALL
-                # dispatches are enqueued: groups hold disjoint points, so the
-                # results are identical to interleaved updates, but the host
-                # pays ONE pipeline drain per chunk instead of one slow-tunnel
-                # round trip per group
-                for st in stacks:
-                    if st.pts is None or not active[st.pts].any():
-                        continue
-                    if HIST_COMPACT:
-                        # geometry compaction: rebuild on the active set when
-                        # the padded point count at least halves or a rung of
-                        # the segment ladder drops — late pruning rounds then
-                        # run on small shapes instead of the setup-time padding.
-                        # DEFERRED until the new rung's programs are warm
-                        # (unsharded path): the old — already compiled — shapes
-                        # keep the device busy while the background pool
-                        # compiles the rung, so compaction never serializes a
-                        # compile into the chunk wall.  The chunk schedule
-                        # (boost, R) stays a pure function of the active count,
-                        # so permute_n accounting is unchanged by warm timing.
-                        pred = st.predict_shape(result, active)
-                        if pred is not None and (
-                            2 * pred[1] <= st.n_pts_pad
-                            or pred[0] < st.n_seg_pad
-                        ):
-                            rung_warm = (
-                                _warm_rung(
-                                    st.w_seg_p, pred[0], pred[1], pred[2],
-                                    R, nshard,
-                                )
-                                & _warm_points_for(st, pred[3])
-                            )
-                            # defer only GENTLE rungs: running a chunk on
-                            # 8x-oversized stale geometry costs more than
-                            # blocking on the new rung's compile
-                            if (shard_now or rung_warm
-                                    or st.n_pts_pad >= 8 * pred[1]):
-                                st.rebuild(
-                                    result, _active_by_chr(st, active)
-                                )
-                            else:
-                                last_stats["hist_deferred_rebuilds"] += 1
-
-                    q = st.sub_rep * nshard
-                    ds = _plan_stack(st.w_seg_p, st.n_seg_pad, st.n_pts_pad,
-                                     st.sub_rep, R, nshard)
-                    outs_slices = []
-                    r0 = 0
-                    for d in ds:
-                        Rd = d * q
-                        sig = sigma_p[r0 : r0 + Rd]
-                        if shard_now:
-                            outs_slices.append(_stat_call_sharded(
-                                st,
-                                to_global(
-                                    mesh, sig,
-                                    jax.sharding.PartitionSpec(
-                                        ("perm", "site")
-                                    ),
-                                ),
-                                d,
-                            ))
-                            last_stats["hist_sharded_dispatches"] += 1
-                        else:
-                            outs_slices.append(_stat_call(st, sig, d))
-                            last_stats["hist_unsharded_dispatches"] += 1
-                        r0 += Rd
-                    pending.append((st, outs_slices))
+                    if stat_spec is not None:
+                        last_stats["hist_spec_misses"] = (
+                            last_stats.get("hist_spec_misses", 0) + 1
+                        )
+                    if (sigma_spec is not None and sigma_spec[0] == boost
+                            and sigma_spec[1] == rounds_done):
+                        sigma_p = sigma_spec[2]
+                    else:
+                        sigma_p = _gen_sigma(boost, rounds_done)
+                    sigma_spec = None
+                    # (stack, [device stats]) — drained after ALL dispatches
+                    # are enqueued: groups hold disjoint points, so the
+                    # results are identical to interleaved updates, but the
+                    # host pays ONE pipeline drain per chunk instead of one
+                    # slow-tunnel round trip per group
+                    pending = _dispatch_stacks(R, sigma_p, shard_now, nshard)
+                stat_spec = None
                 if rounds_done + R < cfg.n_permute:
                     # enqueue next chunk's sigma ahead of the drain (see
                     # sigma_spec above); boost tier assumed unchanged
@@ -2016,6 +2105,20 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                         boost, rounds_done + R,
                         _gen_sigma(boost, rounds_done + R),
                     )
+                    # pruning-tail boundary overlap: enqueue the whole next
+                    # chunk too.  Only when unsharded, in the boosted-tier
+                    # regime (few survivors — a mispredicted chunk there
+                    # wastes little), and when the next chunk's schedule
+                    # (same boost, full R) is the likely prediction
+                    R_next = min(cfg.chunk_replicates * boost,
+                                 cfg.n_permute - (rounds_done + R))
+                    if (STAT_SPEC and mesh is None and boost >= 16
+                            and R_next == R):
+                        stat_spec = (
+                            (boost, rounds_done + R, R),
+                            _dispatch_stacks(R, sigma_spec[2], False, 1,
+                                             allow_rebuild=False),
+                        )
                 if pending:
                     # concatenate every group's [R, n_active] block device-side
                     # and read back ONCE per chunk
@@ -2163,8 +2266,16 @@ def prewarm_hist_permute(data, tables, scan_cfg, cfg: PermuteConfig):
             default=0,
         ) >= GROUP_STAT_MIN_SITES
     )
-    oh_dt = jnp.int8 if ht.weights is None else jnp.float32
-    oh_cols = n_rows if gmode else PERM_GROUP * n_rows
+    # mirror the dispatch loop's table selection exactly (thin i16 row-id
+    # rows in exact mode by default; gmode group sums; f32 weight rows)
+    if ht.weights is not None:
+        oh_dt, oh_cols = jnp.float32, PERM_GROUP * n_rows
+    elif gmode:
+        oh_dt, oh_cols = jnp.int8, n_rows
+    elif THIN_OH:
+        oh_dt, oh_cols = jnp.int16, PERM_GROUP
+    else:
+        oh_dt, oh_cols = jnp.int8, PERM_GROUP * n_rows
 
     # mirror _scan_permute_hist's stack construction (shapes only)
     by_len: dict = {}

@@ -738,6 +738,33 @@ def make_row_onehot_group_table(row_compact, *, n_rows):
     )
 
 
+def make_row_index_group_table(row_compact, *, n_rows):
+    """[G+1, PERM_GROUP] i16 compact-row-INDEX table (thin gather form).
+
+    Same information as make_row_onehot_group_table at n_rows x fewer
+    bytes: each site's one-hot row is fully determined by its compact row
+    id, so the permuted stream gather fetches PERM_GROUP i16 ids per
+    group and expands to one-hot ON CHIP (a VPU broadcast compare).  The
+    XLA row gather is simultaneously row-count-bound (~16M rows/s) and
+    byte-bound (~26 GB/s measured, bench/micro_idx.py) — the fat one-hot
+    rows sat on the byte ceiling; the thin rows clear it.  Value n_rows
+    (the row_map absent/sentinel id, and the pad for tail sites past W)
+    expands to an all-zero one-hot row, exactly like the fat table's
+    zero padding.
+    """
+    from .permute import PERM_GROUP
+
+    W = row_compact.shape[0]
+    G = -(-W // PERM_GROUP) if W else 1
+    idx = jnp.minimum(row_compact.astype(jnp.int32), n_rows)
+    idx = jnp.pad(
+        idx, (0, G * PERM_GROUP - W), constant_values=n_rows
+    ).reshape(G, PERM_GROUP).astype(jnp.int16)
+    return jnp.pad(
+        idx, ((0, 1), (0, 0)), constant_values=np.int16(n_rows)
+    )
+
+
 def make_group_sum_table(row_compact, *, n_rows, pg):
     """[G+1, n_rows] int8 per-group row-count sums (counts <= pg <= 127).
 

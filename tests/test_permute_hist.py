@@ -273,3 +273,78 @@ def test_round_updates_vectorized():
         np.testing.assert_array_equal(aa, ab)
         for x, y in zip(ra.null_clr, rb.null_clr):
             np.testing.assert_array_equal(x, y)
+
+
+def test_speculative_chunk_dispatch_matches(scanned, monkeypatch):
+    """Pruning-tail boundary overlap: the speculatively pre-dispatched
+    next chunk (engine/permute.py stat_spec) changes nothing — replicate
+    rows are pure functions of their absolute stream index, so consuming
+    the in-flight chunk is bitwise identical to re-dispatching it."""
+    import fscl_tpu.engine.permute as pm
+
+    data, tables, scan_cfg, result0 = scanned
+    monkeypatch.setattr(pm.jax, "device_count", lambda: 1)
+    # strongest point (immortal) + weakest point (pruned mid-run, so the
+    # equality also covers consuming a chunk speculated before a death)
+    top2 = np.array([np.argmax(result0.clr), np.argmin(result0.clr)])
+
+    def run():
+        r = copy.deepcopy(result0)
+        r.permute_n[:] = 0
+        r.permute_p[:] = 0
+        r.permute_finished[:] = True
+        r.permute_finished[top2] = False  # 2-point pruning tail
+        r.null_clr = [None] * r.n_points
+        cfg = PermuteConfig(
+            n_permute=1536, seed=5, chunk_replicates=4, use_hist=True,
+        )
+        scan_permute(data, tables, r, scan_cfg, cfg)
+        return r, dict(pm.last_stats)
+
+    monkeypatch.setattr(pm, "STAT_SPEC", False)
+    r_plain, s_plain = run()
+    monkeypatch.setattr(pm, "STAT_SPEC", True)
+    r_spec, s_spec = run()
+    assert s_plain.get("hist_spec_chunks", 0) == 0
+    assert s_spec.get("hist_spec_chunks", 0) >= 1  # overlap engaged
+    assert r_spec.permute_finished[top2[1]]  # the weak point was pruned
+    np.testing.assert_array_equal(r_plain.permute_p, r_spec.permute_p)
+    np.testing.assert_array_equal(r_plain.permute_n, r_spec.permute_n)
+    for i in top2:
+        np.testing.assert_allclose(
+            r_plain.null_clr[i], r_spec.null_clr[i], rtol=1e-6, atol=1e-5
+        )
+
+
+def test_thin_index_table_matches_fat_onehot(scanned, monkeypatch):
+    """The thin i16 row-id stream table (expanded to one-hot on chip)
+    is bitwise-equivalent to gathering the fat one-hot rows."""
+    import fscl_tpu.engine.permute as pm
+
+    data, tables, scan_cfg, result0 = scanned
+
+    def run():
+        r = copy.deepcopy(result0)
+        r.permute_n[:] = 0
+        r.permute_p[:] = 0
+        r.permute_finished[:] = False
+        r.null_clr = [None] * r.n_points
+        cfg = PermuteConfig(
+            n_permute=64, seed=13, chunk_replicates=16, use_hist=True,
+        )
+        scan_permute(data, tables, r, scan_cfg, cfg)
+        return r
+
+    monkeypatch.setattr(pm, "THIN_OH", False)
+    r_fat = run()
+    monkeypatch.setattr(pm, "THIN_OH", True)
+    r_thin = run()
+    np.testing.assert_array_equal(r_fat.permute_p, r_thin.permute_p)
+    np.testing.assert_array_equal(r_fat.permute_n, r_thin.permute_n)
+    np.testing.assert_allclose(
+        r_fat.stat_threshold, r_thin.stat_threshold, rtol=0, atol=0
+    )
+    for i in range(r_fat.n_points):
+        np.testing.assert_allclose(
+            r_fat.null_clr[i], r_thin.null_clr[i], rtol=1e-6, atol=1e-5
+        )
