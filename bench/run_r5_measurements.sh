@@ -20,6 +20,9 @@ python bench/power_recovery.py --reps 24 --sweep-alpha 1e-3 --densify 1 --positi
 python bench/run_r4_genome1m.py 2>>bench/r5_run.log
 python bench/run_r3_first.py 2>>bench/r5_run.log
 python bench.py 2>>bench/r5_run.log
+# canonical deep-tail number (round-neutral runner; also refreshed by
+# run_r4_genome1m.py — this standalone pass is the quiet-host sample)
+python bench/run_tail.py 2>>bench/r5_run.log
 # lattice-fallback throughput (VERDICT r4 item 6)
 python bench/measure_fallback.py 2>>bench/r5_run.log
 # ms + asc/mixed parity gates

@@ -2100,24 +2100,26 @@ def _scan_permute_hist(data, tables, result, scan_cfg, cfg: PermuteConfig,
                 stat_spec = None
                 if rounds_done + R < cfg.n_permute:
                     # enqueue next chunk's sigma ahead of the drain (see
-                    # sigma_spec above); boost tier assumed unchanged
+                    # sigma_spec above).  The next tier is PREDICTED with
+                    # the pre-drain active count — exact unless the drain
+                    # kills points across a tier boundary (then the top of
+                    # the next iteration regenerates)
+                    b_next = _boost(int(active.sum()), rounds_done + R)
                     sigma_spec = (
-                        boost, rounds_done + R,
-                        _gen_sigma(boost, rounds_done + R),
+                        b_next, rounds_done + R,
+                        _gen_sigma(b_next, rounds_done + R),
                     )
                     # pruning-tail boundary overlap: enqueue the whole next
-                    # chunk too.  Only when unsharded, in the boosted-tier
-                    # regime (few survivors — a mispredicted chunk there
-                    # wastes little), and when the next chunk's schedule
-                    # (same boost, full R) is the likely prediction
-                    R_next = min(cfg.chunk_replicates * boost,
+                    # chunk too.  Only when unsharded and in the
+                    # boosted-tier regime (few survivors — a mispredicted
+                    # chunk there wastes little)
+                    R_next = min(cfg.chunk_replicates * b_next,
                                  cfg.n_permute - (rounds_done + R))
-                    if (STAT_SPEC and mesh is None and boost >= 16
-                            and R_next == R):
+                    if STAT_SPEC and mesh is None and b_next >= 16:
                         stat_spec = (
-                            (boost, rounds_done + R, R),
-                            _dispatch_stacks(R, sigma_spec[2], False, 1,
-                                             allow_rebuild=False),
+                            (b_next, rounds_done + R, R_next),
+                            _dispatch_stacks(R_next, sigma_spec[2], False,
+                                             1, allow_rebuild=False),
                         )
                 if pending:
                     # concatenate every group's [R, n_active] block device-side

@@ -71,14 +71,23 @@ def _kernel(n_rows, out_dtype, tiles_per_seg, rows_ref, tril_ref, out_ref,
     def _init():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
+    # matmul input precision: integer one-hot streams (0/1 values — exact
+    # in bfloat16) run the tril contraction at the ~4x bf16 MXU rate; the
+    # ACCUMULATION stays f32 (preferred_element_type), so counts are exact
+    # below 2^24 exactly as before.  f32 weight streams (compressed mode)
+    # keep f32 inputs — their values are not bf16-representable.
+    mm_dt = tril_ref.dtype  # bf16 for one-hot streams, f32 for weights
     if n_rows is None:  # input is already a one-hot (i8) or f32 weights
-        oh = rows_ref[...].astype(jnp.float32)
+        oh = rows_ref[...].astype(mm_dt)
     else:
         lanes = rows_ref.shape[1]
         r_id = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_W, lanes), 1
         ) % n_rows
-        oh = jnp.where(rows_ref[...] == r_id, 1.0, 0.0)
+        oh = jnp.where(
+            rows_ref[...] == r_id,
+            jnp.ones((), mm_dt), jnp.zeros((), mm_dt),
+        )
     cs = jax.lax.dot_general(
         tril_ref[...], oh,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -134,7 +143,15 @@ def onehot_prefix_sums(rows_expanded, *, n_rows=None, out_dtype=jnp.int16,
     tile_l = L if L <= TILE_L else TILE_L
     assert L % tile_l == 0
     carry_rows = 2 if jnp.issubdtype(jnp.dtype(out_dtype), np.floating) else 1
-    tril = jnp.asarray(np.tril(np.ones((TILE_W, TILE_W), np.float32)))
+    # bf16 tril for integer one-hot streams (the kernel contracts in the
+    # bf16 MXU mode with f32 accumulation); f32 for weight streams
+    is_float_in = (
+        n_rows is None and rows_expanded.dtype == jnp.float32
+    )
+    tril = jnp.asarray(
+        np.tril(np.ones((TILE_W, TILE_W), np.float32)),
+        dtype=jnp.float32 if is_float_in else jnp.bfloat16,
+    )
     return pl.pallas_call(
         functools.partial(_kernel, n_rows, out_dtype, tiles_per_seg),
         out_shape=jax.ShapeDtypeStruct((W, L), out_dtype),
