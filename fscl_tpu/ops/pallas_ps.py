@@ -76,18 +76,19 @@ def _kernel(n_rows, out_dtype, tiles_per_seg, rows_ref, tril_ref, out_ref,
     # ACCUMULATION stays f32 (preferred_element_type), so counts are exact
     # below 2^24 exactly as before.  f32 weight streams (compressed mode)
     # keep f32 inputs — their values are not bf16-representable.
-    mm_dt = tril_ref.dtype  # bf16 for one-hot streams, f32 for weights
+    # NOTE: a bf16-input variant of this contraction (exact for 0/1
+    # one-hots with the f32 accumulation) was tried and REVERTED: it
+    # measured neutral on the tunnel v5e (the kernel is memory-path
+    # bound, bench/micro_thin.py) and Mosaic miscompiles the bf16 select
+    # at some lane widths ("Invalid relayout ... vector<512x256xi1>").
     if n_rows is None:  # input is already a one-hot (i8) or f32 weights
-        oh = rows_ref[...].astype(mm_dt)
+        oh = rows_ref[...].astype(jnp.float32)
     else:
         lanes = rows_ref.shape[1]
         r_id = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_W, lanes), 1
         ) % n_rows
-        oh = jnp.where(
-            rows_ref[...] == r_id,
-            jnp.ones((), mm_dt), jnp.zeros((), mm_dt),
-        )
+        oh = jnp.where(rows_ref[...] == r_id, 1.0, 0.0)
     cs = jax.lax.dot_general(
         tril_ref[...], oh,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -143,15 +144,7 @@ def onehot_prefix_sums(rows_expanded, *, n_rows=None, out_dtype=jnp.int16,
     tile_l = L if L <= TILE_L else TILE_L
     assert L % tile_l == 0
     carry_rows = 2 if jnp.issubdtype(jnp.dtype(out_dtype), np.floating) else 1
-    # bf16 tril for integer one-hot streams (the kernel contracts in the
-    # bf16 MXU mode with f32 accumulation); f32 for weight streams
-    is_float_in = (
-        n_rows is None and rows_expanded.dtype == jnp.float32
-    )
-    tril = jnp.asarray(
-        np.tril(np.ones((TILE_W, TILE_W), np.float32)),
-        dtype=jnp.float32 if is_float_in else jnp.bfloat16,
-    )
+    tril = jnp.asarray(np.tril(np.ones((TILE_W, TILE_W), np.float32)))
     return pl.pallas_call(
         functools.partial(_kernel, n_rows, out_dtype, tiles_per_seg),
         out_shape=jax.ShapeDtypeStruct((W, L), out_dtype),
